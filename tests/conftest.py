@@ -1,0 +1,88 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual devices so multi-chip sharding
+(vszip_tpu.parallel) is exercised without TPU hardware; bench.py runs the
+same ops on the real chip.  Must set flags before JAX initializes.
+"""
+
+import os
+import sys
+from pathlib import Path
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pytest  # noqa: E402
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from golden import GoldenStore  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--update-goldens",
+        action="store_true",
+        default=False,
+        help="regenerate tests/goldens/*.json from the current build",
+    )
+
+
+def pytest_configure(config):
+    config._golden_store = GoldenStore(config.getoption("--update-goldens"))
+
+
+def pytest_sessionfinish(session, exitstatus):
+    store = getattr(session.config, "_golden_store", None)
+    if store is not None:
+        store.save()
+
+
+@pytest.fixture(scope="session")
+def golden(request):
+    return request.config._golden_store
+
+
+@pytest.fixture(scope="session")
+def src_rgb():
+    """Single-frame 640x320 RGB24 procedural test image."""
+    from fixtures import source_rgb24
+
+    return source_rgb24()
+
+
+@pytest.fixture(scope="session")
+def make_clip(src_rgb):
+    """Factory: the source image in any format/geometry, cached per session."""
+    from fixtures import convert, geometry_variant
+
+    cache = {}
+
+    def make(fmt_name: str, geometry: str = "full"):
+        key = (fmt_name, geometry)
+        if key not in cache:
+            cache[key] = geometry_variant(convert(src_rgb, fmt_name), geometry)
+        return cache[key]
+
+    return make
+
+
+@pytest.fixture(scope="session")
+def make_temporal_clip():
+    """Factory: 3-frame vertically-shifted clip for temporal filters."""
+    from fixtures import convert, geometry_variant, temporal_rgb24
+
+    cache = {}
+    base = temporal_rgb24()
+
+    def make(fmt_name: str, geometry: str = "full"):
+        key = (fmt_name, geometry)
+        if key not in cache:
+            cache[key] = geometry_variant(convert(base, fmt_name), geometry)
+        return cache[key]
+
+    return make

@@ -1,0 +1,194 @@
+"""Golden-snapshot infrastructure (mirrors the reference's test strategy,
+reference tests/golden.py, reimplemented for the Clip API).
+
+Each test file declares `Case`s (format x geometry x filter kwargs); golden
+per-plane stats live in tests/goldens/<filter>.json keyed by case id.
+`pytest --update-goldens` regenerates; normal runs compare.  Goldens lock in
+*current* behavior — review diffs after regeneration.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from vszip_tpu import Clip
+from vszip_tpu.core.format import SampleType
+
+GOLDENS_DIR = Path(__file__).resolve().parent / "goldens"
+
+
+def _fmt_val(v) -> str:
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_fmt_val(x) for x in v) + "]"
+    if isinstance(v, float):
+        return format(v, "g")
+    return str(v)
+
+
+class Case:
+    """One golden case: input format name + geometry + filter kwargs."""
+
+    def __init__(self, fmt: str, geometry: str = "full", args: dict | None = None,
+                 variant: str = ""):
+        self.fmt = fmt
+        self.geometry = geometry
+        self.args = dict(args or {})
+        self.variant = variant
+
+    @property
+    def id(self) -> str:
+        argstr = ",".join(
+            f"{k}={_fmt_val(v)}" for k, v in sorted(self.args.items())
+        ) or "default"
+        s = f"{self.fmt}|{self.geometry}|{argstr}"
+        return f"{s}|{self.variant}" if self.variant else s
+
+    def __str__(self):
+        return self.id
+
+    def __repr__(self):
+        return f"Case({self.id})"
+
+
+def grid(**axes) -> list[dict]:
+    out = [{}]
+    for key, values in axes.items():
+        out = [{**d, key: v} for d in out for v in values]
+    return out
+
+
+def sweep(*, base_fmt: str, base_args: dict | None = None,
+          base_geometry: str = "full", formats: tuple = (), args: tuple = (),
+          geometries: tuple = (), variant: str = "") -> list[Case]:
+    """One-axis-at-a-time sweep around a base config (not a cartesian
+    product — reference tests/golden.py:74-103 rationale)."""
+    base_args = dict(base_args or {})
+    out, seen = [], set()
+
+    def add(c: Case):
+        if c.id not in seen:
+            seen.add(c.id)
+            out.append(c)
+
+    for f in formats:
+        add(Case(f, base_geometry, base_args, variant))
+    for a in args:
+        add(Case(base_fmt, base_geometry, {**base_args, **a}, variant))
+    for g in geometries:
+        add(Case(base_fmt, g, base_args, variant))
+    return out
+
+
+def plane_stats(clip: Clip, plane: int = 0, n: int = 0) -> dict:
+    """PlaneStats-style stats: avg normalized to 0-1 for int formats
+    (min/max stay raw), matching VS std.PlaneStats semantics the reference
+    goldens use."""
+    arr = np.asarray(clip.planes[plane][n])
+    if arr.dtype == np.float16:
+        arr = arr.astype(np.float32)
+    mn, mx = float(arr.min()), float(arr.max())
+    if clip.format.sample_type is SampleType.INTEGER:
+        peak = (1 << clip.format.bits_per_sample) - 1
+        avg = float(arr.astype(np.float64).mean() / peak)
+        mn, mx = int(arr.min()), int(arr.max())
+    else:
+        avg = float(arr.astype(np.float64).mean())
+    return {"avg": avg, "min": mn, "max": mx}
+
+
+def golden_stats(clip: Clip, n: int = 0) -> dict:
+    out = {}
+    for p in range(clip.num_planes):
+        st = plane_stats(clip, plane=p, n=n)
+        for k, v in st.items():
+            assert math.isfinite(v), f"plane {p} {k} not finite: {v}"
+        assert st["min"] <= st["max"], f"plane {p}: min > max: {st}"
+        out[f"p{p}"] = st
+    return out
+
+
+def _jsonable(value):
+    if isinstance(value, dict):
+        return {str(k): _jsonable(v) for k, v in value.items()}
+    if isinstance(value, (list, tuple)):
+        return [_jsonable(v) for v in value]
+    if isinstance(value, bool) or value is None or isinstance(value, str):
+        return value
+    if isinstance(value, (int, np.integer)):
+        return int(value)
+    if isinstance(value, (float, np.floating)):
+        assert math.isfinite(value), f"non-finite golden value: {value}"
+        return float(value)
+    raise TypeError(f"not golden-storable: {value!r}")
+
+
+def _assert_close(expected, actual, rel, abs_, path):
+    if isinstance(expected, dict):
+        assert isinstance(actual, dict), f"{path}: type mismatch"
+        assert set(expected) == set(actual), (
+            f"{path}: keys {sorted(actual)} != {sorted(expected)}"
+        )
+        for k in expected:
+            _assert_close(expected[k], actual[k], rel, abs_, f"{path}.{k}")
+    elif isinstance(expected, list):
+        assert len(expected) == len(actual), f"{path}: length mismatch"
+        for i, (e, a) in enumerate(zip(expected, actual)):
+            _assert_close(e, a, rel, abs_, f"{path}[{i}]")
+    elif isinstance(expected, (int, float)) and not isinstance(expected, bool):
+        assert actual == pytest.approx(expected, rel=rel, abs=abs_), (
+            f"{path}: {actual!r} != golden {expected!r} (rel={rel}, abs={abs_})"
+        )
+    else:
+        assert actual == expected, f"{path}: {actual!r} != golden {expected!r}"
+
+
+class GoldenStore:
+    def __init__(self, update: bool):
+        self.update = update
+        self._data: dict[str, dict] = {}
+        self._dirty: set[str] = set()
+
+    def _file(self, name: str) -> Path:
+        return GOLDENS_DIR / f"{name}.json"
+
+    def _get(self, name: str) -> dict:
+        if name not in self._data:
+            f = self._file(name)
+            self._data[name] = json.loads(f.read_text()) if f.is_file() else {}
+        return self._data[name]
+
+    def check_value(self, filter_name: str, key, value, rel: float = 1e-6,
+                    abs_: float = 1e-9) -> None:
+        key = str(key)
+        value = _jsonable(value)
+        data = self._get(filter_name)
+        if self.update:
+            data[key] = value
+            self._dirty.add(filter_name)
+            return
+        if key not in data:
+            pytest.fail(
+                f"no golden for {filter_name}[{key}]; run `pytest --update-goldens`"
+            )
+        _assert_close(data[key], value, rel, abs_, f"{filter_name}[{key}]")
+
+    def check(self, filter_name: str, case: Case, clip: Clip, n: int = 0,
+              rel: float | None = None) -> None:
+        if rel is None:
+            rel = 1e-6
+        self.check_value(filter_name, case, golden_stats(clip, n), rel=rel)
+
+    def save(self) -> None:
+        if not self._dirty:
+            return
+        GOLDENS_DIR.mkdir(exist_ok=True)
+        for name in sorted(self._dirty):
+            data = {k: self._data[name][k] for k in sorted(self._data[name])}
+            self._file(name).write_text(json.dumps(data, indent=1) + "\n")
