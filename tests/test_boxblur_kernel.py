@@ -1,0 +1,44 @@
+"""Pallas kernel vs jnp reference path, in interpreter mode on CPU.
+
+The real-hardware bit-exactness check runs via the verify flow / bench on
+the TPU chip; this keeps the kernel logic covered by the CPU suite.
+"""
+
+import numpy as np
+import pytest
+
+pl = pytest.importorskip("jax.experimental.pallas")
+
+
+@pytest.mark.parametrize(
+    "shape,radius,dtype",
+    [
+        ((2, 48, 160), 5, np.uint16),
+        ((1, 40, 136), 3, np.uint8),
+        ((1, 33, 77), 8, np.uint16),
+        ((1, 7, 13, ), 2, np.uint8),
+    ],
+    ids=str,
+)
+def test_kernel_matches_jnp_interpret(shape, radius, dtype, monkeypatch):
+    import jax.experimental.pallas as plmod
+    import jax.numpy as jnp
+
+    from vszip_tpu.kernels import boxblur_pallas as kp
+    from vszip_tpu.ops.boxblur import _ct_blur_int
+
+    orig = plmod.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(kp.pl, "pallas_call", interp_call)
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(
+        rng.integers(0, np.iinfo(dtype).max + 1, shape, dtype=dtype)
+    )
+    got = np.asarray(kp.ct_blur_int_pallas(x, radius))
+    want = np.asarray(_ct_blur_int(x, radius))
+    np.testing.assert_array_equal(got, want)

@@ -16,9 +16,16 @@ package re-designs the same surface TPU-first:
 import.  All kernels request explicit dtypes; nothing relies on defaults.
 """
 
+import sys as _sys
+
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
+
+# Mosaic lowering of large kernels recurses deeper than CPython's default
+# 1000-frame limit (finite recursion over long op chains).
+if _sys.getrecursionlimit() < 10000:
+    _sys.setrecursionlimit(10000)
 
 from .core.clip import Clip  # noqa: E402
 from .core.format import (  # noqa: E402

@@ -1,0 +1,197 @@
+"""Fused Pallas TPU kernel for the BoxBlur comptime path (integer formats).
+
+Computes the reference's comptime BoxBlur (src/filters/boxblur_comptime.zig:
+V raw column sums quantized at ``(col*inv + 2^31) >> 32``, then the H
+fixed-point running pass) in ONE pass over HBM: each grid step assembles a
+(TH + 2r)-row slab in VMEM (delivered as three TH-row pipelined blocks),
+maintains the vertical running column sums, quantizes, runs the horizontal
+pass on the in-VMEM rows, and stores TH output rows.  Bit-identical to the
+jnp reference path (asserted in tests).
+
+Key derivations that make this a pure-i32/u32 kernel (no 64-bit):
+
+* vertical quantize: ``(col*inv + 2^31) >> 32 == (2*col + ksize) // (2*ksize)``
+  for every odd ksize <= 45 (proof in ops/boxblur.py), evaluated exactly in
+  f32 with a floor + correction step (all operands < 2^24).
+* vertical bottom mirror: the comptime path's quirky bottom rule (tap offset
+  ``o`` past the end reads absolute row ``h-1-o``) telescopes to the uniform
+  running update ``W(j) = W(j-1) + x[j+r <= h-1 ? j+r : j-1] - x[j-1-r]``.
+* horizontal pass: ``out(x) = (C0 + inv2*(Wh(x)-Wh(0))) >> 16`` with
+  ``C0 = (Wh(0)*inv + 2^31) >> 16``; Wh from an in-VMEM lane prefix sum
+  (log-step rolls), the 38-bit product split into i32-safe limbs, and C0
+  evaluated in u32 limbs (``a*ih + floor(a*il/2^16) + 2^15``).
+
+The horizontal mirror corrections only touch the first/last ``r`` lanes and
+are evaluated per-lane (static slices), avoiding unsupported lane reversal.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _lane_cumsum_i32(x):
+    """Prefix sum along the last (lane) dim via log-step rolls."""
+    n = x.shape[-1]
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    s = 1
+    while s < n:
+        shifted = pltpu.roll(x, jnp.int32(s), x.ndim - 1)
+        x = x + jnp.where(col >= s, shifted, jnp.int32(0))
+        s *= 2
+    return x
+
+
+def _quantize_div(col, ksize: int):
+    """Exact round-half-up division ``(2*col + ksize) // (2*ksize)`` in f32."""
+    k2 = 2 * ksize
+    t = (2 * col + ksize).astype(jnp.float32)
+    q = jnp.floor(t * jnp.float32(1.0 / k2))
+    rem = t - q * jnp.float32(k2)
+    q = q + (rem >= jnp.float32(k2)).astype(jnp.float32)
+    q = q - (rem < jnp.float32(0.0)).astype(jnp.float32)
+    return q.astype(jnp.int32)
+
+
+def _c0_u32(w0, inv: int):
+    """C0 = (w0*inv + 2^31) >> 16 for w0 < 2^22, via u32 limbs."""
+    ih = np.uint32(inv >> 16)
+    il = np.uint32(inv & 0xFFFF)
+    a = w0.astype(jnp.uint32)
+    ah = a >> 11
+    al = a & np.uint32(2047)
+    p = ah * il
+    t3 = (((p & np.uint32(31)) << 11) + al * il) >> 16
+    c0 = a * ih + (p >> 5) + t3 + np.uint32(0x8000)
+    c0h = (c0 >> 16).astype(jnp.int32)
+    c0l = (c0 & np.uint32(0xFFFF)).astype(jnp.int32)
+    return c0h, c0l
+
+
+def _fixed_out(d, c0h, c0l, inv2: int):
+    """(C0 + inv2*D) >> 16 with D = Wh - W0, in split i32 limbs."""
+    a = np.int32(inv2) * (d >> 9)
+    b = np.int32(inv2) * (d & np.int32(511))
+    return c0h + (a >> 7) + ((c0l + ((a & np.int32(127)) << 9) + b) >> 16)
+
+
+def _ct_int_kernel(r0_ref, r1_ref, o_ref, *, radius: int, hgt: int,
+                   th: int, inv: int, inv2: int):
+    r = radius
+    ksize = 2 * r + 1
+    nslab = th + 2 * r
+    # all scalar index math in explicit i32 (x64 mode would promote Python
+    # ints to i64, which Mosaic cannot lower)
+    i0 = pl.program_id(1) * jnp.int32(th)  # first output row of this block
+
+    # slab: xpad rows [i0, i0 + TH + 2r) as f32 (values <= 65535, exact).
+    # slab row t holds global row i0 + t - r (input is top-padded by r).
+    slab = jnp.concatenate(
+        [r0_ref[0].astype(jnp.int32), r1_ref[0].astype(jnp.int32)], axis=0
+    )[:nslab].astype(jnp.float32)
+
+    # ---- vertical window sums: one MXU matmul against a lower-triangular
+    # ones matrix gives the row prefix sums; every partial sum < 2^24 so the
+    # f32 arithmetic is exact.  No sequential loop, no dynamic indexing. ----
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nslab, nslab), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (nslab, nslab), 1)
+    ltri = (rows >= cols).astype(jnp.float32)
+    cs = jax.lax.dot_general(
+        ltri, slab, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
+
+    # normal windows for output row t (slab center t+r): cs[t+2r] - cs[t-1]
+    zero_row = jnp.zeros_like(cs[0:1, :])
+    cs_prev = jnp.concatenate([zero_row, cs[: th - 1]], axis=0)   # cs[t-1]
+    wn = cs[2 * r : 2 * r + th] - cs_prev
+    # bottom-quirk windows (reference mirrorRows bottom rule): for global row
+    # j >= hgt-r, W(j) = sum(x[j-r..hgt-1]) + sum(x[hgt-1-r..j-1])
+    #              = (C1 - cs[t-1]) + (cs[t+r-1] - C2)
+    # with C1 = prefix through slab row hgt-1+r-i0, C2 = through hgt-2-i0,
+    # computed as masked reductions (no dynamic indexing).
+    srows = jax.lax.broadcasted_iota(jnp.int32, (nslab, 1), 0)
+    m1 = (srows <= jnp.int32(hgt - 1 + r) - i0).astype(jnp.float32)
+    m2 = (srows <= jnp.int32(hgt - 2) - i0).astype(jnp.float32)
+    c1 = jnp.sum(slab * m1, axis=0, keepdims=True).astype(jnp.int32)
+    c2 = jnp.sum(slab * m2, axis=0, keepdims=True).astype(jnp.int32)
+    wq = (c1 - cs_prev) + (cs[r - 1 : th + r - 1] - c2)
+    out_rows = jax.lax.broadcasted_iota(jnp.int32, (th, 1), 0) + i0
+    wv = jnp.where(out_rows >= jnp.int32(hgt - r), wq, wn)
+    tmp = _quantize_div(wv, ksize)
+
+    # ---- horizontal fixed-point pass on tmp (TH, W) ----
+    w = tmp.shape[-1]
+    cs = _lane_cumsum_i32(tmp)
+    col = jax.lax.broadcasted_iota(jnp.int32, cs.shape, 1)
+    # interior window sums: cs[x+r] - cs[x-r-1]
+    a = pltpu.roll(cs, jnp.int32(w - r), 1)  # cyclic left-shift by r
+    b = jnp.where(col >= r + 1, pltpu.roll(cs, jnp.int32(r + 1), 1), jnp.int32(0))
+    wh = a - b
+    w0 = cs[:, r : r + 1] + cs[:, r - 1 : r]
+    c0h, c0l = _c0_u32(w0, inv)
+    out = _fixed_out(wh - w0, c0h, c0l, inv2)
+    o_ref[0] = out.astype(o_ref.dtype)
+    # left edge lanes x < r: Wh = cs[x+r] + cs[r-x-1]
+    for u in range(r):
+        wh_u = cs[:, u + r : u + r + 1] + cs[:, r - u - 1 : r - u]
+        o_ref[0, :, u : u + 1] = _fixed_out(wh_u - w0, c0h, c0l, inv2).astype(
+            o_ref.dtype
+        )
+    # right edge lanes x in [W-r, W-1]:
+    # Wh = 2*cs[W-1] - cs[x-r-1] - cs[2W-2-x-r]
+    cl = cs[:, w - 1 : w]
+    for v in range(r):
+        x = w - r + v
+        wh_v = 2 * cl - cs[:, x - r - 1 : x - r] - cs[:, w - 2 - v : w - 1 - v]
+        o_ref[0, :, x : x + 1] = _fixed_out(wh_v - w0, c0h, c0l, inv2).astype(
+            o_ref.dtype
+        )
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def ct_blur_int_pallas(x, radius: int, tile_h: int = 128):
+    """Fused comptime-path integer BoxBlur.  x: (N, H, W) uint8/uint16."""
+    n, h, w = x.shape
+    r = radius
+    ksize = 2 * r + 1
+    inv = ((1 << 32) + r) // ksize
+    inv2 = inv >> 16
+    # TH: multiple of 16 (u16 sublane tiling) and >= 2r so the two-block
+    # slab window covers TH + 2r rows
+    th = int(min(tile_h, max(h, 16)))
+    th = max(th, 2 * r)
+    th = (th + 15) & ~15
+    num_blocks = pl.cdiv(h, th)
+    # top pad with reflect-101 (the comptime top mirror: rows r..1), bottom
+    # pad so block j+1 of the two-block slab window stays in bounds
+    top = jnp.flip(x[:, 1 : r + 1, :], axis=1)
+    bot_rows = (num_blocks + 1) * th - (h + r)
+    bot = jnp.zeros((n, max(bot_rows, 0), w), x.dtype)
+    xpad = jnp.concatenate([top, x, bot], axis=1)
+
+    kern = functools.partial(
+        _ct_int_kernel, radius=r, hgt=h, th=th, inv=inv, inv2=inv2
+    )
+    zero = np.int32(0)  # a Python-int 0 would trace as i64 under x64
+    blk = lambda d: pl.BlockSpec(
+        (1, th, w),
+        lambda i, j, d=d: (i, j + np.int32(d), zero),
+        memory_space=pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n, h, w), x.dtype),
+        grid=(n, num_blocks),
+        in_specs=[blk(0), blk(1)],
+        out_specs=pl.BlockSpec(
+            (1, th, w), lambda i, j: (i, j, zero), memory_space=pltpu.VMEM
+        ),
+    )(xpad, xpad)

@@ -1,5 +1,19 @@
 """Filter ops: one module per reference filter (reference src/vszip.zig:38-223)."""
 
+from .adaptive_binarize import adaptive_binarize
 from .boxblur import boxblur
+from .checkmate import checkmate
+from .comb_mask import comb_mask
+from .comb_mask_mt import comb_mask_mt
+from .limit_filter import limit_filter
+from .limiter import limiter
 
-__all__ = ["boxblur"]
+__all__ = [
+    "adaptive_binarize",
+    "boxblur",
+    "checkmate",
+    "comb_mask",
+    "comb_mask_mt",
+    "limit_filter",
+    "limiter",
+]

@@ -20,11 +20,12 @@ restated in closed form over prefix sums so it vectorizes on the TPU VPU):
   row ``max(h-1-o, 0)``); horizontal edges mirror with duplication.
   Float: direct FIR in both axes with the hybrid mirror on BOTH axes.
 
-Float accumulation policy: the reference chains f32 adds sequentially; we
-compute window sums via f64 prefix sums and narrow once (documented
-deviation, accurate to ~1 ULP of the true mean, well inside the reference
-test tolerances).  The comptime float path reproduces the reference's exact
-f32 add ordering (an unrolled tap ladder), so f32 outputs are bit-exact there.
+Float accumulation policy: the reference chains f32 adds sequentially in a
+running sum; we evaluate each window directly as an f32 tap ladder (no
+prefix rounding drift — a documented deviation that is slightly *more*
+accurate and stays inside the reference test tolerances).  The comptime
+float path reproduces the reference's exact f32 add ordering, so f32
+outputs are bit-exact there.
 
 Dispatch rule replicated from reference src/vapoursynth/boxblur.zig:188:
 ``use_rt = hradius != vradius or hradius > 22 or hpasses > 1 or vpasses > 1``
@@ -34,7 +35,7 @@ hpasses=0 with hradius==vradius still blurs both axes).
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -51,14 +52,6 @@ FILTER_NAME = "BoxBlur"
 # mirror index tables (host-side, static per (n, radius))
 # ---------------------------------------------------------------------------
 
-def _symmetric_idx(n: int, off: int) -> np.ndarray:
-    """Duplicate-edge mirror ('symmetric'): m(-j)=j-1, m(n-1+j)=n-j."""
-    idx = np.arange(n) + off
-    idx = np.where(idx < 0, -idx - 1, idx)
-    idx = np.where(idx > n - 1, 2 * n - 1 - idx, idx)
-    return np.clip(idx, 0, n - 1)
-
-
 def _hybrid_idx(n: int, off: int) -> np.ndarray:
     """The comptime path's mirror (reference mirrorRows,
     src/filters/boxblur_comptime.zig:50-70, and hBlurFloat edges):
@@ -69,13 +62,50 @@ def _hybrid_idx(n: int, off: int) -> np.ndarray:
     return idx
 
 
-def _window_sums(x, radius: int, axis: int, acc_dtype):
+def _slice(x, start: int, size: int, axis: int):
+    return jax.lax.slice_in_dim(x, start, start + size, axis=axis)
+
+
+def _tap_symmetric(x, off: int, axis: int):
+    """Shifted view with duplicate-edge mirror, built from slices/flips only
+    (no gathers): m(-j)=j-1, m(n-1+j)=n-j."""
+    n = x.shape[axis]
+    if off == 0:
+        return x
+    if off < 0:
+        head = jnp.flip(_slice(x, 0, -off, axis), axis=axis)
+        return jnp.concatenate([head, _slice(x, 0, n + off, axis)], axis=axis)
+    tail = jnp.flip(_slice(x, n - off, off, axis), axis=axis)
+    return jnp.concatenate([_slice(x, off, n - off, axis), tail], axis=axis)
+
+
+def _tap_hybrid(x, off: int, axis: int):
+    """Shifted view with the comptime hybrid mirror, slices/flips/broadcast
+    only.  Valid for |off| < n (guaranteed by the radius validation)."""
+    n = x.shape[axis]
+    if off == 0:
+        return x
+    if off < 0:
+        # out-of-top positions i < -off read row -(i+off): flip(x[1 : 1-off])
+        head = jnp.flip(_slice(x, 1, -off, axis), axis=axis)
+        return jnp.concatenate([head, _slice(x, 0, n + off, axis)], axis=axis)
+    # out-of-bottom positions read the constant row n-1-off
+    fill = _slice(x, n - 1 - off, 1, axis)
+    reps = [1] * x.ndim
+    reps[axis] = off
+    return jnp.concatenate(
+        [_slice(x, off, n - off, axis), jnp.tile(fill, reps)], axis=axis
+    )
+
+
+def _window_sums_i32(x, radius: int, axis: int):
     """Sliding window sums of width 2r+1 with duplicate-edge mirror, via an
-    exclusive prefix sum over the padded axis."""
+    exclusive prefix sum over the padded axis.  i32 is exact up to plane
+    extents of ~32768 at 16-bit (guarded in the op)."""
     n = x.shape[axis]
     pad = [(0, 0)] * x.ndim
     pad[axis] = (radius, radius)
-    xp = jnp.pad(x.astype(acc_dtype), pad, mode="symmetric")
+    xp = jnp.pad(x.astype(jnp.int32), pad, mode="symmetric")
     cs = jnp.cumsum(xp, axis=axis)
     ksize = 2 * radius + 1
     hi = jax.lax.slice_in_dim(cs, ksize - 1, ksize - 1 + n, axis=axis)
@@ -89,22 +119,56 @@ def _window_sums(x, radius: int, axis: int, acc_dtype):
 # runtime-path 1-D passes (closed form of the running sums)
 # ---------------------------------------------------------------------------
 
-def _blur_int_rt_1d(x, radius: int, axis: int):
-    """One integer running-sum pass, bit-exact (int64 arithmetic)."""
+def _fixed_point_output(w, w0, radius: int, dtype):
+    """Exact 32-bit evaluation of the reference running-sum output
+    ``out(x) = (C0 + inv2*(W(x)-W(0))) >> 16`` with
+    ``C0 = (W(0)*inv + 2^31) >> 16``.  The 38-bit product ``inv2*D`` is
+    split into i32-safe limbs (D>>9 / D&511); the per-line constant C0
+    (up to 2^32) is computed in int64 on the tiny W0 slice only, then split
+    into 16-bit halves.  Bit-identical to the int64 closed form."""
     ksize = 2 * radius + 1
     inv = ((1 << 32) + radius) // ksize
-    inv2 = inv >> 16
-    w = _window_sums(x, radius, axis, jnp.int64)
+    inv2 = np.int32(inv >> 16)
+    c0 = (w0.astype(jnp.int64) * inv + (1 << 31)) >> 16
+    c0h = (c0 >> 16).astype(jnp.int32)
+    c0l = (c0 & 0xFFFF).astype(jnp.int32)
+    d = w - w0
+    a = inv2 * (d >> 9)
+    b = inv2 * (d & 511)
+    out = c0h + (a >> 7) + ((c0l + ((a & 127) << 9) + b) >> 16)
+    return out.astype(dtype)
+
+
+def _blur_int_rt_1d(x, radius: int, axis: int):
+    """One integer running-sum pass, bit-exact, i32 hot path."""
+    n = x.shape[axis]
+    if (n + 2 * radius) * int(np.iinfo(x.dtype).max) < 2**31:
+        w = _window_sums_i32(x, radius, axis)
+    else:  # giant planes: prefix sums overflow i32; fall back to i64
+        w = None
+        for tap in _taps_symmetric(x.astype(jnp.int64), radius, axis):
+            w = tap if w is None else w + tap
+        w = w.astype(jnp.int64)
     w0 = jax.lax.slice_in_dim(w, 0, 1, axis=axis)
-    c0 = (w0 * inv + (1 << 31)) >> 16
-    return ((c0 + inv2 * (w - w0)) >> 16).astype(x.dtype)
+    return _fixed_point_output(w, w0, radius, x.dtype)
+
+
+def _taps_symmetric(x, radius: int, axis: int):
+    """Stack of 2r+1 tap views with the duplicate-edge mirror."""
+    for off in range(-radius, radius + 1):
+        yield _tap_symmetric(x, off, axis)
 
 
 def _blur_float_rt_1d(x, radius: int, axis: int):
-    """One float running-mean pass; f64 prefix accumulation, narrowed once."""
-    div = np.float64(1.0) / np.float32(2 * radius + 1)
-    w = _window_sums(x, radius, axis, jnp.float64)
-    return (w * div).astype(x.dtype)
+    """One float box-mean pass.  The reference chains f32 adds in a running
+    sum; we evaluate each window directly as an f32 tap ladder (no prefix
+    rounding drift — documented deviation, within test tolerances)."""
+    div = jnp.float32(1.0 / (2 * radius + 1))
+    acc = None
+    for tap in _taps_symmetric(x.astype(jnp.float32), radius, axis):
+        term = div * tap
+        acc = term if acc is None else acc + term
+    return acc.astype(x.dtype)
 
 
 def _rt_blur(x, hradius: int, hpasses: int, vradius: int, vpasses: int,
@@ -125,18 +189,45 @@ def _rt_blur(x, hradius: int, hpasses: int, vradius: int, vpasses: int,
 
 def _taps_hybrid(x, radius: int, axis: int):
     """Stack of 2r+1 tap views with the comptime path's hybrid mirror."""
-    n = x.shape[axis]
     for off in range(-radius, radius + 1):
-        yield jnp.take(x, jnp.asarray(_hybrid_idx(n, off)), axis=axis)
+        yield _tap_hybrid(x, off, axis)
+
+
+def _hybrid_window_sums_i32(x, radius: int, axis: int):
+    """Window sums with the hybrid mirror: interior via one prefix sum, the
+    2*radius edge lines recomputed from small tap slices."""
+    n = x.shape[axis]
+    ksize = 2 * radius + 1
+    xi = x.astype(jnp.int32)
+    cs = jnp.cumsum(xi, axis=axis)
+    # interior centers i in [radius, n-1-radius]: W = cs[i+r] - cs[i-r] + x[i-r]
+    interior = (
+        _slice(cs, ksize - 1, n - 2 * radius, axis)
+        - _slice(cs, 0, n - 2 * radius, axis)
+        + _slice(xi, 0, n - 2 * radius, axis)
+    )
+    # edge strips: explicit mirrored tap sums over static index tables
+    idx = np.stack([_hybrid_idx(n, off) for off in range(-radius, radius + 1)])
+    top = None
+    bot = None
+    for k in range(ksize):
+        t = jnp.take(xi, jnp.asarray(idx[k, :radius]), axis=axis)
+        b = jnp.take(xi, jnp.asarray(idx[k, n - radius:]), axis=axis)
+        top = t if top is None else top + t
+        bot = b if bot is None else bot + b
+    return jnp.concatenate([top, interior, bot], axis=axis)
 
 
 def _ct_blur_int(x, radius: int):
-    inv = ((1 << 32) + radius) // (2 * radius + 1)
-    # vertical: raw column sums (hybrid mirror), quantized at 32-bit shift
-    col = None
-    for tap in _taps_hybrid(x.astype(jnp.int64), radius, axis=1):
-        col = tap if col is None else col + tap
-    tmp = ((col * inv + (1 << 31)) >> 32).astype(x.dtype)
+    # vertical: raw column sums (hybrid mirror), quantized at 32-bit shift.
+    # ``(col*inv + 2^31) >> 32`` equals round-half-up division
+    # ``(2*col + ksize) // (2*ksize)`` exactly for every odd ksize <= 45 and
+    # col <= ksize*65535 (the truncation term |col*(r-e)|/(ksize*2^32) is
+    # < 1/(2*ksize), the closest an odd-numerator half-integer quotient can
+    # sit to an integer), so the 48-bit product never materializes.
+    ksize = 2 * radius + 1
+    col = _hybrid_window_sums_i32(x, radius, axis=1)
+    tmp = ((2 * col + ksize) // (2 * ksize)).astype(x.dtype)
     # horizontal: the same running fixed-point pass as the runtime path
     return _blur_int_rt_1d(tmp, radius, axis=2)
 
@@ -162,12 +253,23 @@ def _ct_blur_float(x, radius: int):
 # public op
 # ---------------------------------------------------------------------------
 
+@lru_cache(maxsize=1)
+def _on_tpu() -> bool:
+    import jax
+
+    return jax.devices()[0].platform in ("tpu", "axon")
+
+
 @partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
 def _boxblur_plane(x, use_rt: bool, hradius: int, hpasses: int, vradius: int,
                    vpasses: int, is_int: bool):
     if use_rt:
         return _rt_blur(x, hradius, hpasses, vradius, vpasses, is_int)
     if is_int:
+        if _on_tpu():
+            from ..kernels.boxblur_pallas import ct_blur_int_pallas
+
+            return ct_blur_int_pallas(x, hradius)
         return _ct_blur_int(x, hradius)
     return _ct_blur_float(x, hradius)
 
