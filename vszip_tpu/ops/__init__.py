@@ -7,6 +7,10 @@ from .comb_mask import comb_mask
 from .comb_mask_mt import comb_mask_mt
 from .limit_filter import limit_filter
 from .limiter import limiter
+from .packrgb import packrgb
+from .planeaverage import plane_average
+from .planeminmax import plane_minmax
+from .rfs import rfs
 
 __all__ = [
     "adaptive_binarize",
@@ -16,4 +20,8 @@ __all__ = [
     "comb_mask_mt",
     "limit_filter",
     "limiter",
+    "packrgb",
+    "plane_average",
+    "plane_minmax",
+    "rfs",
 ]

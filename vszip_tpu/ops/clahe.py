@@ -1,0 +1,146 @@
+"""CLAHE: contrast-limited adaptive histogram equalization (OpenCV-style).
+
+Reference: src/filters/clahe.zig + src/vapoursynth/clahe.zig.  8/16-bit int,
+all planes.  Per tile (tile_w = width // tiles_x, tile_h = height // tiles_y;
+remainder pixels contribute to no histogram but are still interpolated):
+
+1. histogram, clipped at ``clip_limit = max(limit*tile_area//hist_size, 1)``;
+   the clipped excess is redistributed: ``excess // hist_size`` to every bin,
+   the residual to bins ``{k*step}`` with ``step = max(hist_size//residual,1)``;
+2. LUT = ``trunc(cumsum * peak/tile_area + 0.5)``;
+3. output = bilinear interpolation of the 4 neighboring tile LUTs at the
+   source value (tile coords ``x/tile_w - 0.5``, clamped), rounded half-up.
+
+Sets ``_ColorRange`` FULL.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.clip import Clip
+from ..core.format import SampleType
+from ..core.params import VSZipError, require
+
+FILTER_NAME = "CLAHE"
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _clahe_plane(x, limit: int, tiles_x: int, tiles_y: int, bits: int):
+    n, height, width = x.shape
+    hist_size = 1 << bits
+    peak = float(hist_size - 1)
+    tile_w = width // tiles_x
+    tile_h = height // tiles_y
+    tile_area = tile_w * tile_h
+    lut_scale = np.float32(peak / tile_area)
+    clip_limit = max(limit * tile_area // hist_size, 1)
+
+    # --- per-tile histograms over the covered region ---
+    xi = x[:, : tiles_y * tile_h, : tiles_x * tile_w].astype(jnp.int32)
+    txy = xi.reshape(n, tiles_y, tile_h, tiles_x, tile_w)
+    vals = txy.transpose(0, 1, 3, 2, 4).reshape(n * tiles_y * tiles_x, tile_area)
+    offs = (
+        jax.lax.broadcasted_iota(jnp.int32, (n * tiles_y * tiles_x, 1), 0)
+        * hist_size
+    )
+    flat_idx = (vals + offs).reshape(-1)
+    hist = (
+        jnp.zeros((n * tiles_y * tiles_x * hist_size,), jnp.int32)
+        .at[flat_idx]
+        .add(1)
+        .reshape(n, tiles_y * tiles_x, hist_size)
+    )
+
+    # --- clip + redistribute ---
+    excess = jnp.sum(jnp.maximum(hist - clip_limit, 0), axis=-1, keepdims=True)
+    hist = jnp.minimum(hist, clip_limit)
+    batch = excess // hist_size
+    residual = excess - batch * hist_size
+    hist = hist + batch
+    step = jnp.maximum(hist_size // jnp.maximum(residual, 1), 1)
+    j = jax.lax.broadcasted_iota(jnp.int32, hist.shape, 2)
+    bump = ((j % step) == 0) & ((j // step) < residual)
+    hist = hist + bump.astype(jnp.int32)
+
+    # --- cumulative sum -> LUT ---
+    cdf = jnp.cumsum(hist, axis=-1)
+    lut = jnp.trunc(cdf.astype(jnp.float32) * lut_scale + jnp.float32(0.5)).astype(
+        jnp.int32
+    )  # values <= peak, fits the storage type
+
+    # --- bilinear interpolation of 4 tile LUTs per pixel ---
+    xs = np.arange(width, dtype=np.float32)
+    txf = xs * np.float32(1.0 / tile_w) - np.float32(0.5)
+    tx1u = np.floor(txf)
+    xa = jnp.asarray(txf - tx1u, jnp.float32)[None, None, :]
+    tx1 = jnp.asarray(np.clip(tx1u, 0, tiles_x - 1).astype(np.int32))
+    tx2 = jnp.asarray(np.minimum(tx1u + 1, tiles_x - 1).astype(np.int32))
+
+    ys = np.arange(height, dtype=np.float32)
+    tyf = ys * np.float32(1.0 / tile_h) - np.float32(0.5)
+    ty1u = np.floor(tyf)
+    ya = jnp.asarray(tyf - ty1u, jnp.float32)[None, :, None]
+    ty1 = jnp.asarray(np.clip(ty1u, 0, tiles_y - 1).astype(np.int32))
+    ty2 = jnp.asarray(np.minimum(ty1u + 1, tiles_y - 1).astype(np.int32))
+
+    v = x.astype(jnp.int32)
+    frame_base = (
+        jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
+        * (tiles_y * tiles_x * hist_size)
+    )
+    lut_flat = lut.reshape(-1)
+
+    def look(tyv, txv):
+        tile = tyv[None, :, None] * tiles_x + txv[None, None, :]
+        idx = frame_base + tile * hist_size + v
+        return lut_flat[idx].astype(jnp.float32)
+
+    l0 = look(ty1, tx1)
+    l1 = look(ty1, tx2)
+    l2 = look(ty2, tx1)
+    l3 = look(ty2, tx2)
+    res = (l0 * (1 - xa) + l1 * xa) * (1 - ya) + (l2 * (1 - xa) + l3 * xa) * ya
+    return jnp.trunc(res + jnp.float32(0.5)).astype(x.dtype)
+
+
+def clahe(clip: Clip, limit: int = 7, tiles=None) -> Clip:
+    fmt = clip.format
+    require(
+        fmt.sample_type is SampleType.INTEGER and fmt.bits_per_sample in (8, 16),
+        FILTER_NAME, "only 8 or 16 bit int formats supported.",
+    )
+    limit = int(limit)
+    if tiles is None:
+        tiles = [3, 3]
+    elif not isinstance(tiles, (list, tuple)):
+        tiles = [tiles]
+    if len(tiles) < 1 or len(tiles) > 2:
+        raise VSZipError(f"{FILTER_NAME} : tiles array can't have more than 2 values.")
+    for t in tiles:
+        if t < 1:
+            raise VSZipError(f"{FILTER_NAME}: tiles values must be >= 1.")
+    tiles_x = int(tiles[0])
+    tiles_y = int(tiles[1]) if len(tiles) == 2 else tiles_x
+    min_w = clip.width >> (fmt.subsampling_w if fmt.num_planes > 1 else 0)
+    min_h = clip.height >> (fmt.subsampling_h if fmt.num_planes > 1 else 0)
+    if tiles_x > min_w or tiles_y > min_h:
+        raise VSZipError(
+            f"{FILTER_NAME}: tiles must not exceed the (chroma) plane width/height."
+        )
+    hist_size = 1 << fmt.bits_per_sample
+    cl = limit * (clip.width // tiles_x) * (clip.height // tiles_y) // hist_size
+    if cl > 2**31 - 1:
+        raise VSZipError(
+            f"{FILTER_NAME}: limit too large for this frame size; reduce limit "
+            "or increase tiles."
+        )
+    out = [
+        _clahe_plane(p, limit, tiles_x, tiles_y, fmt.bits_per_sample)
+        for p in clip.planes
+    ]
+    return clip.with_planes(out).with_props(_ColorRange=0)
