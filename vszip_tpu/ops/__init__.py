@@ -1,8 +1,10 @@
 """Filter ops: one module per reference filter (reference src/vszip.zig:38-223)."""
 
 from .adaptive_binarize import adaptive_binarize
+from .bilateral import bilateral
 from .boxblur import boxblur
 from .checkmate import checkmate
+from .clahe import clahe
 from .comb_mask import comb_mask
 from .comb_mask_mt import comb_mask_mt
 from .limit_filter import limit_filter
@@ -14,8 +16,10 @@ from .rfs import rfs
 
 __all__ = [
     "adaptive_binarize",
+    "bilateral",
     "boxblur",
     "checkmate",
+    "clahe",
     "comb_mask",
     "comb_mask_mt",
     "limit_filter",
