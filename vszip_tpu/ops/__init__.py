@@ -6,8 +6,11 @@ from .boxblur import boxblur
 from .checkmate import checkmate
 from .clahe import clahe
 from .comb_mask import comb_mask
+from .compress import compress
+from .deband import deband
 from .comb_mask_mt import comb_mask_mt
 from .limit_filter import limit_filter
+from .mosquito_nr import mosquito_nr
 from .limiter import limiter
 from .packrgb import packrgb
 from .planeaverage import plane_average
@@ -21,8 +24,11 @@ __all__ = [
     "checkmate",
     "clahe",
     "comb_mask",
+    "compress",
+    "deband",
     "comb_mask_mt",
     "limit_filter",
+    "mosquito_nr",
     "limiter",
     "packrgb",
     "plane_average",
