@@ -16,6 +16,8 @@ from .packrgb import packrgb
 from .planeaverage import plane_average
 from .planeminmax import plane_minmax
 from .rfs import rfs
+from .ssimulacra2 import ssimulacra2
+from .xpsnr import xpsnr
 
 __all__ = [
     "adaptive_binarize",
@@ -34,4 +36,6 @@ __all__ = [
     "plane_average",
     "plane_minmax",
     "rfs",
+    "ssimulacra2",
+    "xpsnr",
 ]

@@ -1,0 +1,247 @@
+"""SSIMULACRA2: Cloudinary's perceptual image-quality metric (version 2.1).
+
+Reference: src/filters/ssimulacra2.zig + src/vapoursynth/ssimulacra2.zig.
+Inputs are converted to linear RGBS (reference: toRGBS then an sRGB->linear
+Resize; here core.resample).  Per frame and per scale s in 0..5 (each scale
+a clamped 2x2 box downscale of the previous):
+
+* XYB opsin transform (absorbance matrix, cbrt, per-channel affine),
+* per channel: 9-tap separable Gaussian blur of mu1, mu2, (im1*im2), and
+  (im1+im2)^2 (the reference's hybrid edge mirror), then
+* SSIM map ``1 - num_m*num_s/denom_s`` (f64, 1-norm and 4-norm averages) and
+  the asymmetric artifact / detail-loss ratio maps,
+* the 108-weight fold + cubic polynomial + power nonlinearity -> score.
+
+Zero-weight (plane, scale) pairs are pruned exactly like the reference's
+comptime skip table.  XLA's cbrt/pow replace the VCL polynomial ports
+(documented deviation inside the metric's own tolerance; the reference
+pins its golden score at rel=1e-3).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.clip import Clip
+from ..core.format import SampleType
+from ..core.params import VSZipError, require
+from ..core.resample import srgb_to_linear, to_rgbs
+
+FILTER_NAME = "SSIMULACRA2"
+
+_KERNEL = np.array([
+    0.0076144188642501831054687500, 0.0360749699175357818603515625,
+    0.1095860823988914489746093750, 0.2134445458650588989257812500,
+    0.2665599882602691650390625000, 0.2134445458650588989257812500,
+    0.1095860823988914489746093750, 0.0360749699175357818603515625,
+    0.0076144188642501831054687500,
+], np.float32)
+_RADIUS = 4
+
+# ssimulacra2 v2.1 fitted weights (public metric constants)
+WEIGHT = np.array([
+    0.0, 0.0007376606707406586, 0.0, 0.0, 0.0007793481682867309, 0.0,
+    0.0, 0.0004371155730107379, 0.0, 1.1041726426657346, 0.00066284834129271,
+    0.00015231632783718752, 0.0, 0.0016406437456599754, 0.0,
+    1.8422455520539298, 11.441172603757666, 0.0, 0.0007989109436015163,
+    0.000176816438078653, 0.0, 1.8787594979546387, 10.94906990605142, 0.0,
+    0.0007289346991508072, 0.9677937080626833, 0.0, 0.00014003424285435884,
+    0.9981766977854967, 0.00031949755934435053, 0.0004550992113792063, 0.0,
+    0.0, 0.0013648766163243398, 0.0, 0.0, 0.0, 0.0, 0.0, 7.466890328078848,
+    0.0, 17.445833984131262, 0.0006235601634041466, 0.0, 0.0,
+    6.683678146179332, 0.00037724407979611296, 1.027889937768264,
+    225.20515300849274, 0.0, 0.0, 19.213238186143016, 0.0011401524586618361,
+    0.001237755635509985, 176.39317598450694, 0.0, 0.0, 24.43300999870476,
+    0.28520802612117757, 0.0004485436923833408, 0.0, 0.0, 0.0,
+    34.77906344483772, 44.835625328877896, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+    0.0, 0.0, 0.0008680556573291698, 0.0, 0.0, 0.0, 0.0, 0.0,
+    0.0005313191874358747, 0.0, 0.00016533814161379112, 0.0, 0.0, 0.0, 0.0,
+    0.0, 0.0004179171803251336, 0.0017290828234722833, 0.0,
+    0.0020827005846636437, 0.0, 0.0, 8.826982764996862, 23.19243343998926,
+    0.0, 95.1080498811086, 0.9863978034400682, 0.9834382792465353,
+    0.0012286405048278493, 171.2667255897307, 0.9807858872435379, 0.0, 0.0,
+    0.0, 0.0005130064588990679, 0.0, 0.00010854057858411537,
+], np.float64)
+assert WEIGHT.shape == (108,)
+
+_PRUNE = 0.01
+
+
+def _skip(plane: int, scale: int):
+    base = plane * 36 + scale * 6
+    return dict(
+        ssim=WEIGHT[base] <= _PRUNE and WEIGHT[base + 3] <= _PRUNE,
+        artifact=WEIGHT[base + 1] <= _PRUNE and WEIGHT[base + 4] <= _PRUNE,
+        detailloss=WEIGHT[base + 2] <= _PRUNE and WEIGHT[base + 5] <= _PRUNE,
+    )
+
+
+def _downscale2(x):
+    """clamped 2x2 box downscale, (N,H,W) -> (N,ceil(H/2),ceil(W/2))"""
+    n, h, w = x.shape
+    xp = jnp.pad(x, ((0, 0), (0, h % 2), (0, w % 2)), mode="edge")
+    return (
+        xp[:, 0::2, 0::2] + xp[:, 0::2, 1::2] + xp[:, 1::2, 0::2]
+        + xp[:, 1::2, 1::2]
+    ) * jnp.float32(0.25)
+
+
+_K_M = np.array([
+    [0.30, 1.0 - 0.078 - 0.30, 0.078],
+    [0.23, 1.0 - 0.078 - 0.23, 0.078],
+    [0.24342269, 0.20476745, 1.0 - 0.24342269 - 0.20476745],
+], np.float32)
+_K_BIAS = np.float32(0.0037930734)
+_K_D1 = np.float32(np.cbrt(0.0037930734))
+
+
+def _to_xyb(r, g, b):
+    mix = []
+    for row in _K_M:
+        m = row[0] * r + row[1] * g + row[2] * b + _K_BIAS
+        mix.append(jnp.cbrt(jnp.maximum(m, 0.0)) - _K_D1)
+    cx, cy, cz = mix
+    xv = 0.5 * (cx - cy)
+    yv = 0.5 * (cx + cy)
+    return (
+        xv * jnp.float32(14.0) + jnp.float32(0.42),
+        yv + jnp.float32(0.01),
+        (cz - yv) + jnp.float32(0.55),
+    )
+
+
+def _tap_hybrid(x, off: int, axis: int):
+    """The reference blur's edge mirror (same rule as the comptime BoxBlur:
+    top reflect-101 clamped, bottom tap reads n-1-off)."""
+    n = x.shape[axis]
+    sl = lambda s, e: jax.lax.slice_in_dim(x, s, e, axis=axis)
+    if off == 0:
+        return x
+    if off < 0:
+        head = jnp.flip(sl(1, 1 - off), axis=axis)
+        return jnp.concatenate([head, sl(0, n + off)], axis=axis)
+    fill = sl(max(n - 1 - off, 0), max(n - 1 - off, 0) + 1)
+    reps = [1, 1, 1]
+    reps[axis] = off
+    return jnp.concatenate([sl(off, n), jnp.tile(fill, reps)], axis=axis)
+
+
+def _blur(x):
+    """9-tap separable Gaussian, V then H, hybrid edge mirror, f32 ladder."""
+    acc = None
+    for k in range(9):
+        t = _KERNEL[k] * _tap_hybrid(x, k - _RADIUS, 1)
+        acc = t if acc is None else acc + t
+    v = acc
+    acc = None
+    for k in range(9):
+        t = _KERNEL[k] * _tap_hybrid(v, k - _RADIUS, 2)
+        acc = t if acc is None else acc + t
+    return acc
+
+
+def _norms(m, npix):
+    s1 = jnp.sum(m.astype(jnp.float64), axis=(1, 2)) * npix
+    m4 = m.astype(jnp.float64) ** 4
+    s4 = jnp.sqrt(jnp.sqrt(jnp.sum(m4, axis=(1, 2)) * npix))
+    return s1, s4
+
+
+@jax.jit
+def _ssimulacra2_frames(planes1, planes2):
+    """planes: 3-tuples of (N,H,W) f32 linear RGB.  Returns (N,) scores."""
+    n = planes1[0].shape[0]
+    score = jnp.zeros((n,), jnp.float64)
+    wi = 0  # weight cursor mirrors the reference's fold order
+    terms = {}
+
+    src1, src2 = planes1, planes2
+    for scale in range(6):
+        if scale > 0:
+            src1 = tuple(_downscale2(p) for p in src1)
+            src2 = tuple(_downscale2(p) for p in src2)
+        npix = 1.0 / float(src1[0].shape[1] * src1[0].shape[2])
+        xyb1 = _to_xyb(*src1)
+        xyb2 = _to_xyb(*src2)
+        for plane in range(3):
+            sk = _skip(plane, scale)
+            im1, im2 = xyb1[plane], xyb2[plane]
+            need_mu = not (sk["ssim"] and sk["artifact"] and sk["detailloss"])
+            if not need_mu:
+                terms[(scale, plane)] = (0.0,) * 6
+                continue
+            mu1 = _blur(im1)
+            mu2 = _blur(im2)
+            if not sk["ssim"]:
+                s12 = _blur(im1 * im2)
+                sq = _blur((im1 + im2) ** 2)
+                m11 = mu1 * mu1
+                m22 = mu2 * mu2
+                m12 = mu1 * mu2
+                md = mu1 - mu2
+                num_m = (1.0 - md * md).astype(jnp.float64)
+                num_s = (2.0 * (s12 - m12) + jnp.float32(0.0009)).astype(jnp.float64)
+                den_s = (sq - 2.0 * s12 - m11 - m22 + jnp.float32(0.0009)).astype(jnp.float64)
+                d1 = jnp.maximum(1.0 - (num_m * num_s) / den_s, 0.0)
+                ssim1, ssim4 = _norms(d1, npix)
+            else:
+                ssim1 = ssim4 = jnp.zeros((n,), jnp.float64)
+            if not (sk["artifact"] and sk["detailloss"]):
+                n1 = jnp.abs(im1 - mu1).astype(jnp.float64)
+                n2 = jnp.abs(im2 - mu2).astype(jnp.float64)
+                d1e = (1.0 + n2) / (1.0 + n1) - 1.0
+                art1, art4 = _norms(jnp.maximum(d1e, 0.0), npix)
+                det1, det4 = _norms(jnp.maximum(-d1e, 0.0), npix)
+            else:
+                art1 = art4 = det1 = det4 = jnp.zeros((n,), jnp.float64)
+            terms[(scale, plane)] = (ssim1, ssim4, art1, art4, det1, det4)
+
+    # fold in the reference's weight order
+    # (plane-major, scale, then [ssim, artifact, detailloss] x [1-norm, 4-norm])
+    i = 0
+    for plane in range(3):
+        for scale in range(6):
+            ssim1, ssim4, art1, art4, det1, det4 = terms[(scale, plane)]
+            for vals in ((ssim1, art1, det1), (ssim4, art4, det4)):
+                for v in vals:
+                    if np.ndim(v) == 0 and v == 0.0:
+                        i += 1
+                        continue
+                    score = score + WEIGHT[i] * jnp.abs(v)
+                    i += 1
+
+    ssim = score * 0.9562382616834844
+    ssim = (
+        6.248496625763138e-5 * ssim * ssim * ssim
+        + 2.326765642916932 * ssim
+        - 0.020884521182843837 * ssim * ssim
+    )
+    return jnp.where(
+        ssim > 0.0,
+        jnp.power(ssim, 0.6276336467831387) * -10.0 + 100.0,
+        100.0,
+    )
+
+
+def ssimulacra2(reference: Clip, distorted: Clip) -> Clip:
+    """Returns a copy of `reference` carrying the per-frame prop
+    SSIMULACRA2 (the reference props a copy of src1)."""
+    if (reference.width, reference.height) != (distorted.width, distorted.height):
+        raise VSZipError(f"{FILTER_NAME}: clips must have the same dimensions.")
+    if reference.num_frames != distorted.num_frames:
+        raise VSZipError(f"{FILTER_NAME}: clips must have the same length.")
+    for c in (reference, distorted):
+        if (c.format.sample_type is SampleType.FLOAT
+                and c.format.bits_per_sample == 16):
+            raise VSZipError(f"{FILTER_NAME}: half precision input is not supported.")
+    require(reference.width >= 8 and reference.height >= 8, FILTER_NAME,
+            "input too small; need at least 8x8.")
+
+    lin1 = srgb_to_linear(to_rgbs(reference))
+    lin2 = srgb_to_linear(to_rgbs(distorted))
+    scores = _ssimulacra2_frames(tuple(lin1.planes), tuple(lin2.planes))
+    return reference.with_props(SSIMULACRA2=scores)
