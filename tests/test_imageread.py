@@ -1,0 +1,156 @@
+"""ImageRead + ColorMap tests."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from helpers import encode_bmp, encode_png
+from vszip_tpu import VSZipError
+from vszip_tpu.io.image_read import image_read
+from vszip_tpu.ops.colormap import colormap
+
+REF_IMAGE = Path("/root/reference/tests/image.png")
+
+
+def _rand_img(shape, dtype=np.uint8, seed=0):
+    rng = np.random.default_rng(seed)
+    hi = 65536 if dtype == np.uint16 else 256
+    return rng.integers(0, hi, shape).astype(dtype)
+
+
+@pytest.mark.parametrize("ft", [0, 1, 2, 3, 4])
+def test_png_roundtrip_filters(tmp_path, ft):
+    img = _rand_img((23, 31, 3))
+    p = tmp_path / f"f{ft}.png"
+    p.write_bytes(encode_png(img, filter_type=ft))
+    clip = image_read(str(p))
+    assert clip.format.name == "RGB24"
+    got = np.stack([np.asarray(pl[0]) for pl in clip.planes], axis=-1)
+    np.testing.assert_array_equal(got, img)
+
+
+def test_png_16bit_and_gray(tmp_path):
+    img = _rand_img((10, 14, 3), np.uint16)
+    p = tmp_path / "c16.png"
+    p.write_bytes(encode_png(img))
+    clip = image_read(str(p))
+    assert clip.format.name == "RGB48"
+    np.testing.assert_array_equal(np.asarray(clip.planes[1][0]), img[..., 1])
+
+    g = _rand_img((9, 13, 1))
+    p2 = tmp_path / "g.png"
+    p2.write_bytes(encode_png(g, gray=True))
+    clip2 = image_read(str(p2))
+    assert clip2.format.name == "GRAY8"
+    np.testing.assert_array_equal(np.asarray(clip2.planes[0][0]), g[..., 0])
+
+
+def test_png_alpha(tmp_path):
+    img = _rand_img((8, 8, 4))
+    p = tmp_path / "a.png"
+    p.write_bytes(encode_png(img, alpha=True))
+    clip, aclip = image_read(str(p), alpha=True)
+    np.testing.assert_array_equal(np.asarray(aclip.planes[0][0]), img[..., 3])
+
+
+def test_multiframe_and_validate(tmp_path):
+    a = _rand_img((6, 7, 3), seed=1)
+    b = _rand_img((6, 7, 3), seed=2)
+    pa, pb = tmp_path / "a.png", tmp_path / "b.png"
+    pa.write_bytes(encode_png(a))
+    pb.write_bytes(encode_png(b))
+    clip = image_read([str(pa), str(pb)], validate=True)
+    assert clip.num_frames == 2
+    np.testing.assert_array_equal(np.asarray(clip.planes[0][1]), b[..., 0])
+    # mismatched dims fail validation
+    pc = tmp_path / "c.png"
+    pc.write_bytes(encode_png(_rand_img((5, 7, 3))))
+    with pytest.raises(VSZipError, match="do not match"):
+        image_read([str(pa), str(pc)], validate=True)
+
+
+@pytest.mark.parametrize(
+    "chunks,transfer,primaries",
+    [
+        ({"srgb": True}, 13, 1),
+        ({"gama": 100000}, 8, 1),
+        ({"gama": 45455}, 4, 1),
+        ({"gama": 35714}, 5, 1),
+        ({"gama": 50000}, 2, 1),
+        ({"cicp": (9, 16, 0, 1)}, 16, 9),
+        ({"gama": 100000,
+          "chrm": (31270, 32900, 64000, 33000, 30000, 60000, 15000, 6000)}, 8, 1),
+        ({"gama": 100000,
+          "chrm": (31270, 32900, 70800, 29200, 17000, 79700, 13100, 4600)}, 8, 9),
+        ({"gama": 100000,
+          "chrm": (11270, 32900, 70800, 29200, 17000, 79700, 13100, 4600)}, 8, 2),
+    ],
+    ids=str,
+)
+def test_color_chunk_props(tmp_path, chunks, transfer, primaries):
+    p = tmp_path / "c.png"
+    p.write_bytes(encode_png(_rand_img((4, 4, 3)), chunks=chunks))
+    clip = image_read(str(p))
+    assert clip.props["_Transfer"] == transfer
+    assert clip.props["_Primaries"] == primaries
+
+
+def test_bmp(tmp_path):
+    img = _rand_img((9, 5, 3))
+    p = tmp_path / "x.bmp"
+    p.write_bytes(encode_bmp(img))
+    clip = image_read(str(p))
+    got = np.stack([np.asarray(pl[0]) for pl in clip.planes], axis=-1)
+    np.testing.assert_array_equal(got, img)
+
+
+@pytest.mark.skipif(not REF_IMAGE.is_file(), reason="reference image absent")
+def test_real_photo_decodes():
+    clip = image_read(str(REF_IMAGE))
+    assert clip.width > 100 and clip.height > 100
+    assert clip.format.name in ("RGB24", "RGB48")
+
+
+def test_read_error():
+    with pytest.raises(VSZipError, match="Failed to read"):
+        image_read("/nonexistent/file.png")
+
+
+# --- ColorMap ---------------------------------------------------------------
+
+def test_colormap_golden(golden, make_clip):
+    from golden import Case
+
+    for color in [0, 2, 9, 12, 16, 20, 21]:
+        clip = make_clip("GRAY8")
+        out = colormap(clip, color=color)
+        golden.check("colormap", Case("GRAY8", "full", {"color": color}), out)
+
+
+def test_colormap_semantics(make_clip):
+    clip = make_clip("GRAY8")
+    out = colormap(clip, color=0)  # autumn: r=255, b=0
+    assert out.format.name == "RGB24"
+    assert (np.asarray(out.planes[0]) == 255).all()
+    assert (np.asarray(out.planes[2]) == 0).all()
+    assert out.props["_ColorRange"] == 0
+
+
+def test_colormap_identity_gradient():
+    """LUT resampling: a 0..255 ramp picks each LUT entry exactly once."""
+    from vszip_tpu import Clip, get_format
+    from vszip_tpu.ops.colormap import _lut
+
+    ramp = np.tile(np.arange(256, dtype=np.uint8), (2, 1))[None]
+    clip = Clip.from_planes((ramp,), get_format("GRAY8"))
+    out = colormap(clip, color=20)
+    luts = _lut(20)
+    np.testing.assert_array_equal(np.asarray(out.planes[0][0, 0]), luts[0])
+
+
+def test_colormap_errors(make_clip):
+    with pytest.raises(VSZipError, match="only Gray8"):
+        colormap(make_clip("GRAY16"))
+    with pytest.raises(VSZipError, match="between 0 and 21"):
+        colormap(make_clip("GRAY8"), color=22)

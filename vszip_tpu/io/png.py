@@ -1,0 +1,167 @@
+"""Minimal pure-NumPy PNG and BMP decoders for ImageRead.
+
+The reference uses the zigimg library (reference
+src/vapoursynth/image_read.zig); this is an independent stdlib-only decoder
+covering the formats the test suite and typical pipelines feed: PNG color
+types 0/2/3/4/6 at 8/16 bit, and uncompressed 24/32-bit BMP.  PNG color
+chunks (gAMA/sRGB/cHRM/cICP) are captured for the color-prop mapping.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class DecodedImage:
+    pixels: np.ndarray          # (H, W, C) uint8 or uint16
+    gray: bool
+    has_alpha: bool
+    chunks: dict = field(default_factory=dict)  # gama/srgb/chrm/cicp
+
+
+def _paeth(a, b, c):
+    p = int(a) + int(b) - int(c)
+    pa, pb, pc = abs(p - int(a)), abs(p - int(b)), abs(p - int(c))
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    out = np.zeros((h, stride), np.uint8)
+    pos = 0
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        ft = raw[pos]
+        row = np.frombuffer(raw, np.uint8, stride, pos + 1).astype(np.int32)
+        pos += 1 + stride
+        if ft == 0:
+            cur = row
+        elif ft == 2:  # Up
+            cur = (row + prev) & 0xFF
+        elif ft == 3:  # Average
+            cur = row.copy()
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 1:  # Sub
+            cur = row.copy()
+            for i in range(bpp, stride):
+                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+        elif ft == 4:  # Paeth
+            cur = row.copy()
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
+                cur[i] = (row[i] + _paeth(left, prev[i], ul)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = cur
+        prev = cur
+    return out
+
+
+def decode_png(data: bytes) -> DecodedImage:
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG file")
+    pos = 8
+    idat = b""
+    chunks: dict = {}
+    w = h = depth = ctype = None
+    palette = None
+    trns = None
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        cid = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if cid == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if interlace:
+                raise ValueError("interlaced PNG not supported")
+        elif cid == b"PLTE":
+            palette = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif cid == b"tRNS":
+            trns = np.frombuffer(body, np.uint8)
+        elif cid == b"IDAT":
+            idat += body
+        elif cid == b"gAMA" and length == 4:
+            chunks["gama"] = struct.unpack(">I", body)[0]
+        elif cid == b"sRGB" and length == 1:
+            chunks["srgb"] = True
+        elif cid == b"cHRM" and length == 32:
+            chunks["chrm"] = struct.unpack(">8I", body)
+        elif cid == b"cICP" and length == 4:
+            chunks["cicp"] = tuple(body)
+        elif cid == b"IEND":
+            break
+    if w is None:
+        raise ValueError("missing IHDR")
+    nchan = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    if depth not in (8, 16) and ctype != 3:
+        raise ValueError(f"unsupported PNG bit depth {depth}")
+    if ctype == 3 and depth != 8:
+        raise ValueError("only 8-bit palette PNGs supported")
+    bpp = max(1, nchan * depth // 8)
+    stride = (w * nchan * depth + 7) // 8
+    raw = zlib.decompress(idat)
+    rows = _unfilter(raw, h, stride, bpp)
+    if depth == 16:
+        px = rows.reshape(h, -1).view(">u2").astype(np.uint16).reshape(h, w, nchan)
+    else:
+        px = rows.reshape(h, w, nchan)
+    if ctype == 3:
+        idx = px[:, :, 0]
+        rgb = palette[idx]
+        if trns is not None:
+            a = np.full((h, w), 255, np.uint8)
+            lim = min(len(trns), palette.shape[0])
+            a = np.where(idx < lim, np.take(
+                np.concatenate([trns, np.full(256 - len(trns), 255, np.uint8)]),
+                idx), a)
+            px = np.concatenate([rgb, a[..., None]], axis=-1)
+            return DecodedImage(px, False, True, chunks)
+        return DecodedImage(rgb, False, True, chunks)  # indexed => alpha clip
+    gray = ctype in (0, 4)
+    has_alpha = ctype in (4, 6)
+    return DecodedImage(px, gray, has_alpha, chunks)
+
+
+def decode_bmp(data: bytes) -> DecodedImage:
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    (off,) = struct.unpack("<I", data[10:14])
+    (hsize,) = struct.unpack("<I", data[14:18])
+    w, h = struct.unpack("<ii", data[18:26])
+    planes, bpp = struct.unpack("<HH", data[26:30])
+    (comp,) = struct.unpack("<I", data[30:34])
+    if comp not in (0, 3) or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    flip = h > 0
+    h = abs(h)
+    bypp = bpp // 8
+    stride = (w * bypp + 3) & ~3
+    arr = np.frombuffer(data, np.uint8, stride * h, off).reshape(h, stride)
+    arr = arr[:, : w * bypp].reshape(h, w, bypp)
+    if flip:
+        arr = arr[::-1]
+    rgb = arr[:, :, 2::-1]  # BGR(A) -> RGB
+    if bpp == 32:
+        px = np.concatenate([rgb, arr[:, :, 3:4]], axis=-1)
+        return DecodedImage(np.ascontiguousarray(px), False, True, {})
+    return DecodedImage(np.ascontiguousarray(rgb), False, False, {})
+
+
+def decode(data: bytes) -> DecodedImage:
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(data)
+    if data[:2] == b"BM":
+        return decode_bmp(data)
+    raise ValueError("unsupported image format (PNG and BMP are supported)")

@@ -9,6 +9,7 @@ from .comb_mask import comb_mask
 from .compress import compress
 from .deband import deband
 from .comb_mask_mt import comb_mask_mt
+from .colormap import colormap
 from .limit_filter import limit_filter
 from .mosquito_nr import mosquito_nr
 from .limiter import limiter
@@ -29,6 +30,7 @@ __all__ = [
     "compress",
     "deband",
     "comb_mask_mt",
+    "colormap",
     "limit_filter",
     "mosquito_nr",
     "limiter",
