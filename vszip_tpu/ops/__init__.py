@@ -2,6 +2,7 @@
 
 from .adaptive_binarize import adaptive_binarize
 from .bilateral import bilateral
+from .bilateral_dither import bilateral_dither
 from .boxblur import boxblur
 from .checkmate import checkmate
 from .clahe import clahe
@@ -23,6 +24,7 @@ from .xpsnr import xpsnr
 __all__ = [
     "adaptive_binarize",
     "bilateral",
+    "bilateral_dither",
     "boxblur",
     "checkmate",
     "clahe",
