@@ -9,6 +9,7 @@ from .clahe import clahe
 from .comb_mask import comb_mask
 from .compress import compress
 from .deband import deband
+from .eedi3 import eedi3, eedi3h
 from .comb_mask_mt import comb_mask_mt
 from .colormap import colormap
 from .limit_filter import limit_filter
@@ -31,6 +32,8 @@ __all__ = [
     "comb_mask",
     "compress",
     "deband",
+    "eedi3",
+    "eedi3h",
     "comb_mask_mt",
     "colormap",
     "limit_filter",

@@ -1,0 +1,629 @@
+"""EEDI3 / EEDI3H: edge-directed interpolation via a per-line Viterbi DP.
+
+Reference: src/filters/eedi3.zig + src/vapoursynth/eedi3.zig (an eedi3m
+float-mode port).  For every missing line (field interpolation or dh
+doubling): build 4 mirror-reflected neighbor rows (offsets -3,-1,+1,+3),
+compute a connection-cost matrix over directions u in [-mdis, mdis]
+(2*mdis per side half-pel with hp=True), run a dynamic program across x
+with +-1 (+-2 for hp) transitions penalized by gamma, backtrack the optimal
+direction path, and interpolate along the chosen direction with a 4-tap
+(0.5625/-0.0625) kernel.  Optional `mclip` gates the DP to masked regions
+(buildBmask look-ahead of mdis); optional `vcheck` runs the sequential
+reliability post-pass blending back toward a vertical interpolation (or
+`sclip`).  EEDI3H is the same pipeline on transposed planes.
+
+TPU mapping: all lines of all frames batch into one (B, L, W) tensor; the
+cost matrix is built with static padded-index gathers (multi-bounce mirror
+tables precomputed on host); the x-sequential DP is a `lax.scan` over W
+with a (B, L, tpitch) carry — the batch dimensions hold the parallelism
+(540 lines/frame at 1080p).  Backtrack is a reverse scan over the stored
+i8 argmin deltas; vcheck is a scan over lines with the previously-updated
+line as carry.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.clip import Clip
+from ..core.format import SampleType
+from ..core.params import VSZipError, require
+
+FILTER_NAME = "EEDI3"
+
+MDIS_MAX = 40
+NRAD_MAX = 3
+# padded margin per side (reference pad_h: align(2*mdis_max + nrad_max + n_vec))
+PAD = 96
+FLT_MAX_09 = np.float32(np.finfo(np.float32).max * 0.9)
+
+
+@lru_cache(maxsize=64)
+def _pad_idx(w: int) -> np.ndarray:
+    """index table for the reference's mirrorPad cascade: position p in the
+    padded buffer [0, w + 2*PAD) -> source column in [0, w)."""
+    n = w + 2 * PAD
+    idx = np.zeros(n, np.int64)
+    idx[PAD : PAD + w] = np.arange(w)
+    for i in range(PAD):  # right: buf[PAD+w+i] = buf[PAD+w-2-i]
+        idx[PAD + w + i] = idx[PAD + w - 2 - i]
+    for i in range(PAD):  # left: buf[i] = buf[2*PAD - i]
+        idx[i] = idx[2 * PAD - i]
+    return idx
+
+
+def _reflect_row(y: int, h: int) -> int:
+    if h == 1:
+        return 0
+    while y < 0 or y >= h:
+        if y < 0:
+            y = -y
+        if y >= h:
+            y = 2 * (h - 1) - y
+    return y
+
+
+def _src_col(dh: bool, off: int, n_src: int) -> int:
+    return _reflect_row(off, 2 * n_src) // 2 if dh else _reflect_row(off, n_src)
+
+
+def _take_pad(row, off: int):
+    """row: (..., w + 2*PAD) padded row; returns the w-wide view at data
+    offset `off` (i.e. padded position PAD + off .. PAD + off + w)."""
+    w = row.shape[-1] - 2 * PAD
+    return jax.lax.slice_in_dim(row, PAD + off, PAD + off + w, axis=row.ndim - 1)
+
+
+def _pad_rows(rows):
+    """(B, L, w) -> (B, L, w + 2*PAD) via the mirror cascade table."""
+    w = rows.shape[-1]
+    return jnp.take(rows, jnp.asarray(_pad_idx(w)), axis=-1)
+
+
+def _costs_nonhp(r3p, r1p, r1n, r3n, mdis, nrad, alpha, beta, one_minus_ab):
+    """(B, L, tpitch, w) connection costs; inputs are padded rows."""
+    w = r3p.shape[-1] - 2 * PAD
+    costs = []
+    for u in range(-mdis, mdis + 1):
+        tu = 2 * u
+        tb_parts = (
+            jnp.abs(r3p - jnp.roll(r1p, tu, axis=-1)),
+            jnp.abs(r1p - jnp.roll(r1n, tu, axis=-1)),
+            jnp.abs(r1n - jnp.roll(r3n, tu, axis=-1)),
+        )
+        # padded-space t_base: value at padded pos j is |a(j) - b(j - 2u)|...
+        # jnp.roll(x, tu) puts b(j - tu) at pos j for tu >= 0; for negatives
+        # likewise (cyclic wrap never reaches the used range: |2u| <= 80 < PAD)
+        tb = tb_parts[0] + tb_parts[1] + tb_parts[2]
+        s = None
+        for k in range(-nrad, nrad + 1):
+            term = (
+                _take_pad(tb, k + u) + _take_pad(tb, k) + _take_pad(tb, k + tu)
+            )
+            s = term if s is None else s + term
+        ip = (_take_pad(r1p, u) + _take_pad(r1n, -u)) * jnp.float32(0.5)
+        v = jnp.abs(_take_pad(r1p, 0) - ip) + jnp.abs(_take_pad(r1n, 0) - ip)
+        costs.append(
+            jnp.float32(alpha) * s + jnp.float32(beta * abs(u))
+            + jnp.float32(one_minus_ab) * v
+        )
+    return jnp.stack(costs, axis=2)
+
+
+def _hp_row(a):
+    """half-pel row (computeHpRow): out[j] = .5625*(a[j]+a[j+1]) -
+    .0625*(a[j-1]+a[j+2]) for j in [1, n-2); ends passthrough-undefined in
+    the reference (never read in range)."""
+    out = (
+        jnp.float32(0.5625) * (a + jnp.roll(a, -1, axis=-1))
+        - jnp.float32(0.0625) * (jnp.roll(a, 1, axis=-1) + jnp.roll(a, -2, axis=-1))
+    )
+    return out
+
+
+def _costs_hp(r3p, r1p, r1n, r3n, mdis, nrad, alpha3, beta255, one_minus_ab):
+    hp = [_hp_row(r) for r in (r3p, r1p, r1n, r3n)]
+    cen = 2 * mdis
+    costs = []
+    for u in range(-cen, cen + 1):
+        uh = u >> 1
+        odd = (u & 1) != 0
+        lo0 = (-uh - 1) if odd else -uh
+        A0, B0, C0, D0 = hp if odd else (r3p, r1p, r1n, r3n)
+        base_m = (
+            jnp.abs(r3p - jnp.roll(r1p, u, axis=-1))
+            + jnp.abs(r1p - jnp.roll(r1n, u, axis=-1))
+            + jnp.abs(r1n - jnp.roll(r3n, u, axis=-1))
+        )
+        if odd:
+            base0 = (
+                jnp.abs(A0 - jnp.roll(B0, u, axis=-1))
+                + jnp.abs(B0 - jnp.roll(C0, u, axis=-1))
+                + jnp.abs(C0 - jnp.roll(D0, u, axis=-1))
+            )
+        else:
+            base0 = base_m
+        s0 = s1 = s2 = None
+        for k in range(-nrad, nrad + 1):
+            t1 = _take_pad(base_m, k)
+            t2 = _take_pad(base_m, u + k)
+            t0 = _take_pad(base0, uh + k)
+            s1 = t1 if s1 is None else s1 + t1
+            s2 = t2 if s2 is None else s2 + t2
+            s0 = t0 if s0 is None else s0 + t0
+        ip = (_take_pad(B0, uh) + _take_pad(C0, lo0)) * jnp.float32(0.5)
+        v = jnp.abs(_take_pad(r1p, 0) - ip) + jnp.abs(_take_pad(r1n, 0) - ip)
+        costs.append(
+            jnp.float32(alpha3) * (s0 + s1 + s2)
+            + jnp.float32(beta255 * abs(u) * 0.5)
+            + jnp.float32(one_minus_ab) * v
+        )
+    return jnp.stack(costs, axis=2)
+
+
+def _dp(tcosts, bmask, gamma: float, hp: bool):
+    """Viterbi DP across x.  tcosts (B, L, tpitch, W); bmask (B, L, W) bool
+    or None.  Returns fpath (B, L, W) i32."""
+    b, l, tpitch, w = tcosts.shape
+    big = jnp.float32(FLT_MAX_09)
+
+    pcost0 = tcosts[:, :, :, 0]
+    piT0 = jnp.zeros((b, l, tpitch), jnp.int8)
+
+    if hp:
+        gammas = [(2, gamma), (1, gamma * 0.5)]
+    else:
+        gammas = [(1, gamma)]
+
+    def step(carry, xs):
+        pcost, prev_piT = carry
+        tc, bm = xs  # tc (B, L, tpitch); bm (B, L) bool; x index
+        tcx, is_x1 = tc
+        # candidate chain in the reference's strict-less order
+        if hp:
+            pad = jnp.pad(pcost, ((0, 0), (0, 0), (2, 2)), constant_values=big)
+            cands = [
+                (pad[:, :, 0:tpitch] + jnp.float32(gamma), -2),
+                (pad[:, :, 1 : tpitch + 1] + jnp.float32(gamma * 0.5), -1),
+                (pad[:, :, 2 : tpitch + 2], 0),
+                (pad[:, :, 3 : tpitch + 3] + jnp.float32(gamma * 0.5), 1),
+                (pad[:, :, 4 : tpitch + 4] + jnp.float32(gamma), 2),
+            ]
+            bval, bd = cands[0][0], jnp.full((b, l, tpitch), -2, jnp.int8)
+            for cv, dv in cands[1:]:
+                m = cv < bval
+                bval = jnp.where(m, cv, bval)
+                bd = jnp.where(m, jnp.int8(dv), bd)
+        else:
+            pad = jnp.pad(pcost, ((0, 0), (0, 0), (1, 1)), constant_values=big)
+            left = pad[:, :, 0:tpitch] + jnp.float32(gamma)
+            cent = pad[:, :, 1 : tpitch + 1]
+            right = pad[:, :, 2 : tpitch + 2] + jnp.float32(gamma)
+            lw = left < cent
+            bval = jnp.where(lw, left, cent)
+            bd = jnp.where(lw, jnp.int8(-1), jnp.int8(0))
+            rw = right < bval
+            bval = jnp.where(rw, right, bval)
+            bd = jnp.where(rw, jnp.int8(1), bd)
+
+        new_pcost = jnp.minimum(bval + tcx, big)
+        new_piT = bd
+        if bmask is not None:
+            inactive = ~bm[:, :, None]
+            # inactive x: carry costs through; at x==1 reset to tcosts[x]
+            reset = jnp.where(is_x1, tcx, pcost)
+            new_pcost = jnp.where(inactive, reset, new_pcost)
+            new_piT = jnp.where(inactive,
+                                jnp.where(is_x1, jnp.int8(0), prev_piT),
+                                new_piT)
+        return (new_pcost, new_piT), new_piT
+
+    xs_idx = jnp.arange(1, w, dtype=jnp.int32)
+    tc_seq = jnp.moveaxis(tcosts[:, :, :, 1:], 3, 0)  # (W-1, B, L, tpitch)
+    is_x1 = (xs_idx == 1)[:, None, None, None]
+    bm_seq = (
+        jnp.moveaxis(bmask[:, :, 1:], 2, 0)
+        if bmask is not None
+        else jnp.ones((w - 1, b, l), bool)
+    )
+    (_, _), piTs = jax.lax.scan(
+        step, (pcost0, piT0), ((tc_seq, is_x1), bm_seq)
+    )
+    # piTs[x-1] = backtrack deltas for position x-1 .. i.e. piTs[i] is pbackt[i]
+
+    mdis_center = (tpitch - 1) // 2
+
+    def back(carry, piT):
+        f = carry  # (B, L) i32
+        idx = (mdis_center + f)[:, :, None]
+        delta = jnp.take_along_axis(piT.astype(jnp.int32), idx, axis=2)[:, :, 0]
+        f2 = f + delta
+        return f2, f2
+
+    f_last = jnp.zeros((b, l), jnp.int32)
+    _, fpaths = jax.lax.scan(back, f_last, piTs, reverse=True)
+    # fpaths[i] = fpath at position i (for i in 0..w-2); position w-1 is 0
+    fpath = jnp.concatenate(
+        [jnp.moveaxis(fpaths, 0, 2), jnp.zeros((b, l, 1), jnp.int32)], axis=2
+    )
+    if bmask is not None:
+        fpath = jnp.where(bmask, fpath, 0)
+    return fpath
+
+
+def _gather_dir(row, base_off, dir_idx):
+    """row (B, L, wp) padded; value at padded pos PAD + x + dir (per pixel)."""
+    w = row.shape[-1] - 2 * PAD
+    xs = jax.lax.broadcasted_iota(jnp.int32, dir_idx.shape, dir_idx.ndim - 1)
+    idx = jnp.clip(PAD + xs + dir_idx, 0, row.shape[-1] - 1)
+    return jnp.take_along_axis(row, idx, axis=-1)
+
+
+def _output_nonhp(r3p, r1p, r1n, r3n, fpath, w):
+    d = fpath
+    ad = jnp.abs(d)
+    xs = jax.lax.broadcasted_iota(jnp.int32, d.shape, d.ndim - 1)
+    four_tap = (
+        jnp.float32(0.5625) * (_gather_dir(r1p, 0, d) + _gather_dir(r1n, 0, -d))
+        - jnp.float32(0.0625) * (_gather_dir(r3p, 0, 3 * d) + _gather_dir(r3n, 0, -3 * d))
+    )
+    two_tap = (_gather_dir(r1p, 0, d) + _gather_dir(r1n, 0, -d)) * jnp.float32(0.5)
+    ok = (xs >= ad * 3) & (xs + ad * 3 <= w - 1)
+    return jnp.where(ok, four_tap, two_tap)
+
+
+def _output_hp(r3p, r1p, r1n, r3n, fpath, w, bmask):
+    d = fpath
+    xs = jax.lax.broadcasted_iota(jnp.int32, d.shape, d.ndim - 1)
+    even = (d & 1) == 0
+    d2 = d >> 1
+    ad_e = jnp.abs(d2)
+    four_e = (
+        jnp.float32(0.5625) * (_gather_dir(r1p, 0, d2) + _gather_dir(r1n, 0, -d2))
+        - jnp.float32(0.0625) * (_gather_dir(r3p, 0, 3 * d2) + _gather_dir(r3n, 0, -3 * d2))
+    )
+    two_e = (_gather_dir(r1p, 0, d2) + _gather_dir(r1n, 0, -d2)) * jnp.float32(0.5)
+    ok_e = (xs >= ad_e * 3) & (xs + ad_e * 3 <= w - 1)
+    out_e = jnp.where(ok_e, four_e, two_e)
+
+    d20 = d >> 1
+    d21 = (d + 1) >> 1
+    d30 = (3 * d) >> 1
+    d31 = (3 * d + 1) >> 1
+    ad_o = jnp.maximum(jnp.abs(d30), jnp.abs(d31))
+    c0 = _gather_dir(r3p, 0, d30) + _gather_dir(r3p, 0, d31)
+    c1 = _gather_dir(r1p, 0, d20) + _gather_dir(r1p, 0, d21)
+    c2 = _gather_dir(r1n, 0, -d20) + _gather_dir(r1n, 0, -d21)
+    c3 = _gather_dir(r3n, 0, -d30) + _gather_dir(r3n, 0, -d31)
+    four_o = jnp.float32(0.28125) * (c1 + c2) - jnp.float32(0.03125) * (c0 + c3)
+    two_o = (c1 + c2) * jnp.float32(0.25)
+    ok_o = (xs >= ad_o) & (xs + ad_o <= w - 1)
+    out_o = jnp.where(ok_o, four_o, two_o)
+
+    out = jnp.where(even, out_e, out_o)
+    if bmask is not None:
+        vert = (
+            jnp.float32(0.5625) * (_take_pad(r1p, 0) + _take_pad(r1n, 0))
+            - jnp.float32(0.0625) * (_take_pad(r3p, 0) + _take_pad(r3n, 0))
+        )
+        out = jnp.where(bmask, out, vert)
+    return out
+
+
+def _build_bmask(maskp, mdis: int):
+    """(B, L, W) u8 mask -> bool gate (reference buildBmask)."""
+    b, l, w = maskp.shape
+    minmdis = min(w, mdis)
+    xs = jnp.arange(w, dtype=jnp.int64)
+    nz = maskp != 0
+    # init: last = max over x < minmdis with mask[x]!=0 of (x + mdis)
+    head = jnp.where(nz[:, :, :minmdis], xs[:minmdis] + mdis, -666999)
+    last0 = jnp.max(head, axis=2) if minmdis > 0 else jnp.full((b, l), -666999)
+    # main: cummax over x'' of (x'' + 2*mdis) where mask[x''+mdis]!=0
+    nmain = w - minmdis
+    if nmain > 0:
+        cand = jnp.where(nz[:, :, mdis : mdis + nmain],
+                         xs[:nmain] + 2 * mdis, -666999)
+        run = jax.lax.cummax(cand, axis=2)
+        last_main = jnp.maximum(run, last0[:, :, None])
+        bm_main = xs[:nmain] <= last_main
+        last_end = last_main[:, :, -1]
+    else:
+        bm_main = jnp.zeros((b, l, 0), bool)
+        last_end = last0
+    bm_tail = xs[nmain:] <= last_end[:, :, None]
+    return jnp.concatenate([bm_main, bm_tail], axis=2)
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _interp_all(rows4, mask, scp_dummy, params, hp: bool, w: int, use_mask: bool):
+    (mdis, nrad, alpha, beta, gamma, one_minus_ab) = params
+    r3p, r1p, r1n, r3n = [_pad_rows(r) for r in rows4]
+    bm = _build_bmask(mask, mdis) if use_mask else None
+    if hp:
+        tc = _costs_hp(r3p, r1p, r1n, r3n, mdis, nrad, alpha, beta, one_minus_ab)
+    else:
+        tc = _costs_nonhp(r3p, r1p, r1n, r3n, mdis, nrad, alpha, beta,
+                          one_minus_ab)
+    fpath = _dp(tc, bm, gamma, hp)
+    if hp:
+        out = _output_hp(r3p, r1p, r1n, r3n, fpath, w, bm)
+    else:
+        out = _output_nonhp(r3p, r1p, r1n, r3n, fpath, w)
+        if bm is not None:
+            # all-inactive lines fall back to vertical 4-tap with dmap 0;
+            # handled per pixel by fpath==0 two/four tap?  The reference
+            # uses the vertical kernel only for fully-inactive lines; for
+            # masked-out pixels fpath is 0 and the normal x-range select
+            # applies, which matches the reference's interpolation at dir 0.
+            pass
+    return out, fpath
+
+
+def _vcheck(src_lines, dst_lines, scp, dmap, field, n_interp, n_dst, n_src,
+            dh, hp, vcheck, vthresh0, vthresh1, vthresh2, w):
+    """Sequential reliability pass over interpolated lines (reference
+    vcheckLine).  dst_lines (B, n_dst, W) already containing the interp."""
+    rcp0 = np.float32(1.0 / (vthresh0 / 255.0))
+    rcp1 = np.float32(1.0 / (vthresh1 / 255.0))
+    rcp2 = np.float32(1.0 / vthresh2)
+    vt2 = np.float32(vthresh2)
+
+    # Python loop over interpolated lines (n_interp is static & modest);
+    # line `off` reads dst[pd-2] which the previous iteration updated.
+    dst = dst_lines
+    for off in range(1, n_interp - 1):
+        pd = field + 2 * off
+        if pd < 2 or pd + 2 >= n_dst:
+            continue
+        dl = dst[:, pd]
+        d1p = dst[:, pd - 1]
+        d2p = dst[:, pd - 2]
+        d1n = dst[:, pd + 1]
+        d2n = dst[:, pd + 2]
+        c3p = _src_col(dh, pd - 3, n_src)
+        c3n = _src_col(dh, pd + 3, n_src)
+        s3p = src_lines[:, c3p]
+        s3n = src_lines[:, c3n]
+        dm_c = dmap[:, off]
+        dm_p = dmap[:, off - 1]
+        dm_n = dmap[:, off + 1]
+        if scp is not None:
+            cint = scp[:, pd]
+        else:
+            cint = (jnp.float32(0.5625) * (d1p + d1n)
+                    - jnp.float32(0.0625) * (s3p + s3n))
+
+        keep = (dm_c == 0)
+        keep |= (jnp.maximum(dm_c * dm_p, dm_c * dm_n) < 0) | ((dm_p == dm_n) & (dm_p == 0))
+
+        if hp:
+            even = (dm_c & 1) == 0
+            maxoff = jnp.where(
+                even, jnp.abs(dm_c >> 1),
+                jnp.maximum(jnp.abs(dm_c >> 1), jnp.abs((dm_c + 1) >> 1)),
+            )
+        else:
+            maxoff = jnp.abs(dm_c)
+        xs = jax.lax.broadcasted_iota(jnp.int32, dm_c.shape, dm_c.ndim - 1)
+        keep |= (xs + maxoff >= w) | (xs - maxoff < 0)
+
+        def g(row, o):
+            idx = jnp.clip(xs + o, 0, w - 1)
+            return jnp.take_along_axis(row, idx, axis=-1)
+
+        if hp:
+            d20 = dm_c >> 1
+            d21 = (dm_c + 1) >> 1
+            # odd-direction variant
+            s2ps = g(d2p, d20) + g(d2p, d21)
+            s1ps = g(d1p, d20) + g(d1p, d21)
+            pa0 = g(dl, d20) + g(dl, d21)
+            ps0 = g(dl, -d20) + g(dl, -d21)
+            s1ns = g(d1n, -d20) + g(d1n, -d21)
+            s2ns = g(d2n, -d20) + g(d2n, -d21)
+            it_o = (s2ps + ps0) * jnp.float32(0.25)
+            vt_o = (jnp.abs(s2ps - s1ps) + jnp.abs(pa0 - s1ps)) * jnp.float32(0.5)
+            ib_o = (pa0 + s2ns) * jnp.float32(0.25)
+            vb_o = (jnp.abs(s2ns - s1ns) + jnp.abs(ps0 - s1ns)) * jnp.float32(0.5)
+            offh = dm_c >> 1
+            it_e = (g(d2p, offh) + g(dl, -offh)) * jnp.float32(0.5)
+            ib_e = (g(dl, offh) + g(d2n, -offh)) * jnp.float32(0.5)
+            vt_e = jnp.abs(g(d2p, offh) - g(d1p, offh)) + jnp.abs(g(dl, offh) - g(d1p, offh))
+            vb_e = jnp.abs(g(d2n, -offh) - g(d1n, -offh)) + jnp.abs(g(dl, -offh) - g(d1n, -offh))
+            even = (dm_c & 1) == 0
+            it = jnp.where(even, it_e, it_o)
+            ib = jnp.where(even, ib_e, ib_o)
+            vt = jnp.where(even, vt_e, vt_o)
+            vb = jnp.where(even, vb_e, vb_o)
+            dabs = jnp.abs(dm_c) >> 1
+        else:
+            it = (g(d2p, dm_c) + g(dl, -dm_c)) * jnp.float32(0.5)
+            ib = (g(dl, dm_c) + g(d2n, -dm_c)) * jnp.float32(0.5)
+            vt = jnp.abs(g(d2p, dm_c) - g(d1p, dm_c)) + jnp.abs(g(dl, dm_c) - g(d1p, dm_c))
+            vb = jnp.abs(g(d2n, -dm_c) - g(d1n, -dm_c)) + jnp.abs(g(dl, -dm_c) - g(d1n, -dm_c))
+            dabs = jnp.abs(dm_c)
+
+        vc = jnp.abs(dl - d1p) + jnp.abs(dl - d1n)
+        d0 = jnp.abs(it - d1p)
+        d1_ = jnp.abs(ib - d1n)
+        d2_ = jnp.abs(vt - vc)
+        d3_ = jnp.abs(vb - vc)
+        if vcheck == 1:
+            m0, m1 = jnp.minimum(d0, d1_), jnp.minimum(d2_, d3_)
+        elif vcheck == 2:
+            m0 = (d0 + d1_) * jnp.float32(0.5)
+            m1 = (d2_ + d3_) * jnp.float32(0.5)
+        else:
+            m0, m1 = jnp.maximum(d0, d1_), jnp.maximum(d2_, d3_)
+        a0 = m0 * rcp0
+        a1 = m1 * rcp1
+        a2 = jnp.maximum((vt2 - dabs.astype(jnp.float32)) * rcp2, 0.0)
+        a = jnp.minimum(jnp.maximum(a0, jnp.maximum(a1, a2)), 1.0)
+        tl = (jnp.float32(1.0) - a) * dl + a * cint
+        tl = jnp.where(keep, cint, tl)
+        dst = dst.at[:, pd].set(tl)
+    return dst
+
+
+def _eedi3_plane(x, mask_plane, scp_plane, field: int, dh: bool, hp: bool,
+                 mdis: int, nrad: int, alpha: float, beta: float, gamma: float,
+                 vcheck: int, vthresh: tuple):
+    """x: (B, n_src, W) f32; returns (B, n_dst, W)."""
+    b, n_src, w = x.shape
+    n_interp = n_src if dh else n_src // 2
+    n_dst = n_src * 2 if dh else n_src
+
+    one_minus_ab = np.float32(1.0) - np.float32(alpha) - np.float32(beta)
+    a_s, b_s, g_s = alpha / 3.0, beta / 255.0, gamma / 255.0
+
+    lines = np.asarray([field + 2 * k for k in range(n_interp)])
+    rows = []
+    for off in (-3, -1, 1, 3):
+        idx = np.asarray([_src_col(dh, int(li) + off, n_src) for li in lines])
+        rows.append(x[:, jnp.asarray(idx), :])
+    if mask_plane is not None:
+        # mask rows are picked at interp_off for dh, at the dst line otherwise
+        midx = np.arange(n_interp) if dh else lines
+        mask_l = mask_plane[:, jnp.asarray(midx), :]
+    else:
+        mask_l = jnp.zeros((1,), jnp.uint8)
+
+    params = (mdis, nrad, float(np.float32(a_s)), float(np.float32(b_s)),
+              float(np.float32(g_s)), float(one_minus_ab))
+    interp, fpath = _interp_all(tuple(rows), mask_l, None, params, hp, w,
+                                mask_plane is not None)
+
+    # assemble: kept lines + interpolated lines
+    out = jnp.zeros((b, n_dst, w), jnp.float32)
+    if dh:
+        out = out.at[:, (1 - field)::2].set(x.astype(jnp.float32))
+    else:
+        out = out.at[:, (1 - field)::2].set(
+            x[:, (1 - field)::2].astype(jnp.float32)
+        )
+    out = out.at[:, field::2].set(interp)
+
+    if vcheck > 0:
+        out = _vcheck(x.astype(jnp.float32), out, scp_plane, fpath, field,
+                      n_interp, n_dst, n_src, dh, hp, vcheck,
+                      vthresh[0], vthresh[1], vthresh[2], w)
+    return out
+
+
+def _eedi3_impl(horizontal: bool, clip: Clip, field: int, dh=False, alpha=0.2,
+                beta=0.25, gamma=20.0, nrad=2, mdis=20, hp=False, vcheck=2,
+                vthresh0=32.0, vthresh1=64.0, vthresh2=4.0,
+                sclip: Clip | None = None, mclip: Clip | None = None) -> Clip:
+    name = "EEDI3H" if horizontal else "EEDI3"
+    axis_name = "width" if horizontal else "height"
+    fmt = clip.format
+    if fmt.sample_type is not SampleType.FLOAT or fmt.bits_per_sample != 32:
+        raise VSZipError(f"{name}: only 32-bit float input is supported.")
+    if field < 0 or field > 3:
+        raise VSZipError(f"{name}: field must be 0, 1, 2, or 3.")
+    if dh and field > 1:
+        raise VSZipError(f"{name}: field must be 0 or 1 when dh=True.")
+    interp_axis = clip.width if horizontal else clip.height
+    if not dh and interp_axis % 2:
+        raise VSZipError(f"{name}: {axis_name} must be mod 2 when dh=False.")
+    if not (0.0 <= alpha <= 1.0):
+        raise VSZipError(f"{name}: alpha must be between 0.0 and 1.0 (inclusive).")
+    if not (0.0 <= beta <= 1.0):
+        raise VSZipError(f"{name}: beta must be between 0.0 and 1.0 (inclusive).")
+    if alpha + beta > 1.0:
+        raise VSZipError(f"{name}: alpha + beta must be less than or equal to 1.0.")
+    if gamma < 0.0:
+        raise VSZipError(f"{name}: gamma must be greater than or equal to 0.0.")
+    if not (0 <= nrad <= 3):
+        raise VSZipError(f"{name}: nrad must be between 0 and 3 (inclusive).")
+    if not (1 <= mdis <= 40):
+        raise VSZipError(f"{name}: mdis must be between 1 and 40 (inclusive).")
+    if not (0 <= vcheck <= 3):
+        raise VSZipError(f"{name}: vcheck must be 0, 1, 2, or 3.")
+    if vcheck > 0 and (vthresh0 <= 0 or vthresh1 <= 0 or vthresh2 <= 0):
+        raise VSZipError(
+            f"{name}: vthresh0, vthresh1 and vthresh2 must be greater than 0.0."
+        )
+    if mclip is not None:
+        from ..core.format import ColorFamily
+
+        if mclip.format.color_family is not ColorFamily.GRAY:
+            raise VSZipError(f"{name}: mclip must be Gray.")
+        if (mclip.width, mclip.height) != (clip.width, clip.height):
+            raise VSZipError(f"{name}: mclip's dimensions don't match.")
+        if mclip.num_frames != clip.num_frames:
+            raise VSZipError(f"{name}: mclip's number of frames doesn't match.")
+        # the reference converts non-Gray8 masks to Gray8 (Resize.Point);
+        # the gate only tests mask != 0, which is dtype-independent here
+    double_rate = field > 1
+
+    out_planes = []
+    nf = clip.num_frames
+    vthresh = (float(vthresh0), float(vthresh1), float(vthresh2))
+    for p in range(fmt.num_planes):
+        xp = jnp.asarray(clip.planes[p], jnp.float32)
+        ssw = fmt.subsampling_w if p else 0
+        ssh = fmt.subsampling_h if p else 0
+        mp = None
+        if mclip is not None:
+            # the single luma-sized Gray mask drives every plane; subsampled
+            # planes read the first chroma-width pixels of the luma-indexed
+            # mask rows (reference quirk: no scaling, plain row indexing)
+            m = jnp.asarray(mclip.planes[0])
+            pw_, _ = clip.plane_dims(p)
+            mp = m[:, :, :pw_]
+        if horizontal:
+            xp = jnp.swapaxes(xp, 1, 2)
+            mp = jnp.swapaxes(mp, 1, 2) if mp is not None else None
+
+        def run(fld, scp_p):
+            return _eedi3_plane(
+                xp, mp, scp_p, fld, bool(dh), bool(hp), int(mdis), int(nrad),
+                float(alpha), float(beta), float(gamma), int(vcheck), vthresh,
+            )
+
+        base_field = field & 1
+        if double_rate:
+            scp_even = scp_odd = None
+            if sclip is not None and vcheck > 0:
+                sp = jnp.asarray(sclip.planes[p], jnp.float32)
+                if horizontal:
+                    sp = jnp.swapaxes(sp, 1, 2)
+                scp_even = sp[0::2]
+                scp_odd = sp[1::2]
+            out0 = run(0 ^ base_field, scp_even)
+            out1 = run(1 ^ base_field, scp_odd)
+            n_dst = out0.shape[1]
+            merged = jnp.zeros((2 * nf, n_dst, out0.shape[2]), jnp.float32)
+            merged = merged.at[0::2].set(out0)
+            merged = merged.at[1::2].set(out1)
+            res = merged
+        else:
+            scp_p = None
+            if sclip is not None and vcheck > 0:
+                scp_p = jnp.asarray(sclip.planes[p], jnp.float32)
+                if horizontal:
+                    scp_p = jnp.swapaxes(scp_p, 1, 2)
+            res = run(base_field, scp_p)
+        if horizontal:
+            res = jnp.swapaxes(res, 1, 2)
+        out_planes.append(res)
+
+    props = dict(clip.props)
+    props["_FieldBased"] = 0
+    return Clip(tuple(out_planes), fmt, props)
+
+
+def eedi3(clip: Clip, field: int, **kw) -> Clip:
+    """vszip.EEDI3 (vertical interpolation)."""
+    return _eedi3_impl(False, clip, field, **kw)
+
+
+def eedi3h(clip: Clip, field: int, **kw) -> Clip:
+    """vszip.EEDI3H (the same pipeline across the width)."""
+    return _eedi3_impl(True, clip, field, **kw)
