@@ -81,6 +81,25 @@ def _fixed_out(d, c0h, c0l, inv2: int):
     return c0h + (a >> 7) + ((c0l + ((a & np.int32(127)) << 9) + b) >> 16)
 
 
+def _mm(a, b):
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _rev_lanes(x, r: int):
+    """reverse the r lanes of (th, r) i32 (values < 2^27) via an exchange
+    matmul, exact through a hi/lo split (each product has one term < 2^24)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (r, r), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (r, r), 1)
+    ex = (rows + cols == r - 1).astype(jnp.float32)
+    hi = (x >> 12).astype(jnp.float32)
+    lo = (x & jnp.int32(4095)).astype(jnp.float32)
+    return (_mm(hi, ex).astype(jnp.int32) << 12) + _mm(lo, ex).astype(jnp.int32)
+
+
 def _ct_int_kernel(r0_ref, r1_ref, o_ref, *, radius: int, hgt: int,
                    th: int, inv: int, inv2: int):
     r = radius
@@ -90,11 +109,11 @@ def _ct_int_kernel(r0_ref, r1_ref, o_ref, *, radius: int, hgt: int,
     # ints to i64, which Mosaic cannot lower)
     i0 = pl.program_id(1) * jnp.int32(th)  # first output row of this block
 
-    # slab: xpad rows [i0, i0 + TH + 2r) as f32 (values <= 65535, exact).
-    # slab row t holds global row i0 + t - r (input is top-padded by r).
-    slab = jnp.concatenate(
-        [r0_ref[0].astype(jnp.int32), r1_ref[0].astype(jnp.int32)], axis=0
-    )[:nslab].astype(jnp.float32)
+    # slab rows [i0, i0 + TH + 2r) as f32 (values <= 65535, exact); rows
+    # come from input block j (all TH rows) and the head of block j+1.
+    slab0 = r0_ref[0].astype(jnp.int32).astype(jnp.float32)
+    slab1 = r1_ref[0, : 2 * r, :].astype(jnp.int32).astype(jnp.float32)
+    slab = jnp.concatenate([slab0, slab1], axis=0)
 
     # ---- vertical window sums: one MXU matmul against a lower-triangular
     # ones matrix gives the row prefix sums; every partial sum < 2^24 so the
@@ -102,10 +121,8 @@ def _ct_int_kernel(r0_ref, r1_ref, o_ref, *, radius: int, hgt: int,
     rows = jax.lax.broadcasted_iota(jnp.int32, (nslab, nslab), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (nslab, nslab), 1)
     ltri = (rows >= cols).astype(jnp.float32)
-    cs = jax.lax.dot_general(
-        ltri, slab, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
+    cs = (
+        _mm(ltri[:, :th], slab0) + _mm(ltri[:, th:], slab1)
     ).astype(jnp.int32)
 
     # normal windows for output row t (slab center t+r): cs[t+2r] - cs[t-1]
@@ -139,21 +156,20 @@ def _ct_int_kernel(r0_ref, r1_ref, o_ref, *, radius: int, hgt: int,
     c0h, c0l = _c0_u32(w0, inv)
     out = _fixed_out(wh - w0, c0h, c0l, inv2)
     o_ref[0] = out.astype(o_ref.dtype)
-    # left edge lanes x < r: Wh = cs[x+r] + cs[r-x-1]
-    for u in range(r):
-        wh_u = cs[:, u + r : u + r + 1] + cs[:, r - u - 1 : r - u]
-        o_ref[0, :, u : u + 1] = _fixed_out(wh_u - w0, c0h, c0l, inv2).astype(
-            o_ref.dtype
-        )
+    # left edge lanes x < r: Wh = cs[x+r] + cs[r-x-1] — the second term is
+    # the reversed head of cs; both edges become one (TH, r) store each
+    wh_l = cs[:, r : 2 * r] + _rev_lanes(cs[:, 0:r], r)
+    o_ref[0, :, 0:r] = _fixed_out(wh_l - w0, c0h, c0l, inv2).astype(o_ref.dtype)
     # right edge lanes x in [W-r, W-1]:
     # Wh = 2*cs[W-1] - cs[x-r-1] - cs[2W-2-x-r]
     cl = cs[:, w - 1 : w]
-    for v in range(r):
-        x = w - r + v
-        wh_v = 2 * cl - cs[:, x - r - 1 : x - r] - cs[:, w - 2 - v : w - 1 - v]
-        o_ref[0, :, x : x + 1] = _fixed_out(wh_v - w0, c0h, c0l, inv2).astype(
-            o_ref.dtype
-        )
+    wh_r = (
+        2 * cl - cs[:, w - 2 * r - 1 : w - r - 1]
+        - _rev_lanes(cs[:, w - 1 - r : w - 1], r)
+    )
+    o_ref[0, :, w - r : w] = _fixed_out(wh_r - w0, c0h, c0l, inv2).astype(
+        o_ref.dtype
+    )
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
