@@ -27,8 +27,10 @@ CASES = sweep(
         {"field": 1, "vcheck": 3},
         {"field": 1, "alpha": 0.5, "beta": 0.1, "gamma": 5.0},
     ),
-    geometries=("odd",),
 )
+# odd height is only legal with dh=True (height-mod-2 check,
+# reference src/filters/eedi3.zig create-time validation)
+CASES.append(Case("GRAYS", "odd", {"field": 1, "dh": True}))
 
 
 @pytest.mark.parametrize("case", CASES, ids=str)
