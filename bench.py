@@ -19,7 +19,8 @@ sys.path.insert(0, __file__.rsplit("/", 1)[0])
 BASELINE_FPS = 1046.11  # reference README.md:43-44
 
 
-def bench_boxblur(batch: int = 32, iters: int = 20, warmup: int = 3) -> float:
+def bench_boxblur(batch: int = 32, iters: int = 100, depth: int = 50,
+                  warmup: int = 2) -> float:
     import jax
     import vszip_tpu as vz
     from vszip_tpu.ops.boxblur import boxblur
@@ -47,13 +48,19 @@ def bench_boxblur(batch: int = 32, iters: int = 20, warmup: int = 3) -> float:
     for _ in range(warmup):
         sync(jstep(clip))
 
+    # chain on the output to serialize real work; fence every `depth`
+    # dispatches — deep enough to amortize the readback RTT, shallow enough
+    # that queued output buffers stay under HBM capacity
     t0 = time.perf_counter()
     out = clip
-    for _ in range(iters):
-        out = jstep(out)  # chain on the output to serialize real work
-    sync(out)
+    n = 0
+    while n < iters:
+        for _ in range(depth):
+            out = jstep(out)
+            n += 1
+        sync(out)
     dt = time.perf_counter() - t0
-    return batch * iters / dt
+    return batch * n / dt
 
 
 def main():

@@ -2,27 +2,32 @@
 
 Computes the reference's comptime BoxBlur (src/filters/boxblur_comptime.zig:
 V raw column sums quantized at ``(col*inv + 2^31) >> 32``, then the H
-fixed-point running pass) in ONE pass over HBM: each grid step assembles a
-(TH + 2r)-row slab in VMEM (delivered as three TH-row pipelined blocks),
-maintains the vertical running column sums, quantizes, runs the horizontal
-pass on the in-VMEM rows, and stores TH output rows.  Bit-identical to the
-jnp reference path (asserted in tests).
+fixed-point running pass) in ONE pass over HBM, with no padded input copy:
+each grid step reads its TH-row tile plus two slim neighbor views (clamped
+block index maps), computes the vertical window sums as MXU band matmuls in
+global row coordinates, quantizes, runs the horizontal fixed-point pass in
+VMEM, and stores TH output rows.  Bit-identical to the jnp reference path
+(asserted in tests).
 
 Key derivations that make this a pure-i32/u32 kernel (no 64-bit):
 
+* vertical mirrors become band-matrix weights: for output row g the normal
+  window is ``[v in [g-r, g+r]] + [v in [1, r-g]]`` (the second term is the
+  reference's top reflect-101) and rows g >= hgt-r use the bottom quirk
+  ``[v in [g-r, hgt-1]] + [v in [hgt-1-r, g-1]]`` (overlaps double-count,
+  matching the mirror's duplicated taps) — entries in {0,1,2}, built from
+  iota compares per block, no data movement.
+* the MXU consumes the slab as bf16: u8 planes directly, u16 planes as hi/lo
+  bytes re-joined after the matmul.  Integers <= 255 and weights <= 2 are
+  bf16-exact and the f32 accumulator never rounds (partials < 2^24).
 * vertical quantize: ``(col*inv + 2^31) >> 32 == (2*col + ksize) // (2*ksize)``
   for every odd ksize <= 45 (proof in ops/boxblur.py), evaluated exactly in
-  f32 with a floor + correction step (all operands < 2^24).
-* vertical bottom mirror: the comptime path's quirky bottom rule (tap offset
-  ``o`` past the end reads absolute row ``h-1-o``) telescopes to the uniform
-  running update ``W(j) = W(j-1) + x[j+r <= h-1 ? j+r : j-1] - x[j-1-r]``.
+  f32 with a floor + correction step.
 * horizontal pass: ``out(x) = (C0 + inv2*(Wh(x)-Wh(0))) >> 16`` with
   ``C0 = (Wh(0)*inv + 2^31) >> 16``; Wh from an in-VMEM lane prefix sum
   (log-step rolls), the 38-bit product split into i32-safe limbs, and C0
-  evaluated in u32 limbs (``a*ih + floor(a*il/2^16) + 2^15``).
-
-The horizontal mirror corrections only touch the first/last ``r`` lanes and
-are evaluated per-lane (static slices), avoiding unsupported lane reversal.
+  evaluated in u32 limbs; the first/last r lanes get mirror corrections via
+  exchange-matrix lane reversal.
 """
 
 from __future__ import annotations
@@ -89,6 +94,15 @@ def _mm(a, b):
     )
 
 
+def _mm16(a, b):
+    """bf16 x bf16 -> f32 matmul (native MXU path; exact for integer inputs
+    <= 255 with few enough terms that the f32 accumulator never rounds)."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _rev_lanes(x, r: int):
     """reverse the r lanes of (th, r) i32 (values < 2^27) via an exchange
     matmul, exact through a hi/lo split (each product has one term < 2^24)."""
@@ -100,48 +114,59 @@ def _rev_lanes(x, r: int):
     return (_mm(hi, ex).astype(jnp.int32) << 12) + _mm(lo, ex).astype(jnp.int32)
 
 
-def _ct_int_kernel(r0_ref, r1_ref, o_ref, *, radius: int, hgt: int,
-                   th: int, inv: int, inv2: int):
+def _band_weights(g, v, lo_keep, hi_keep, radius: int, hgt: int):
+    """Vertical window weight matrix in global row coordinates.
+
+    g: (th, 1) global output rows; v: (th, L) global source rows of one input
+    segment; [lo_keep, hi_keep) is the segment's ownership range (segments
+    overlap when index maps clamp at the array edges — each global row must
+    be counted by exactly one segment).
+    """
+    r = radius
+    norm = ((v >= g - r) & (v <= g + r)).astype(jnp.int32) + (
+        (v >= 1) & (v <= r - g)
+    ).astype(jnp.int32)
+    quirk = ((v >= g - r) & (v <= jnp.int32(hgt - 1))).astype(jnp.int32) + (
+        (v >= jnp.int32(hgt - 1 - r)) & (v <= g - 1)
+    ).astype(jnp.int32)
+    wgt = jnp.where(g >= jnp.int32(hgt - r), quirk, norm)
+    keep = (v >= lo_keep) & (v < hi_keep)
+    return jnp.where(keep, wgt, jnp.int32(0)).astype(jnp.bfloat16)
+
+
+def _ct_int_kernel(main_ref, head_ref, tail_ref, o_ref, *, radius: int,
+                   hgt: int, th: int, rblk: int, qmax: int, inv: int,
+                   inv2: int, wide: bool):
     r = radius
     ksize = 2 * r + 1
-    nslab = th + 2 * r
     # all scalar index math in explicit i32 (x64 mode would promote Python
     # ints to i64, which Mosaic cannot lower)
     i0 = pl.program_id(1) * jnp.int32(th)  # first output row of this block
+    g = jax.lax.broadcasted_iota(jnp.int32, (th, 1), 0) + i0
 
-    # slab rows [i0, i0 + TH + 2r) as f32 (values <= 65535, exact); rows
-    # come from input block j (all TH rows) and the head of block j+1.
-    slab0 = r0_ref[0].astype(jnp.int32).astype(jnp.float32)
-    slab1 = r1_ref[0, : 2 * r, :].astype(jnp.int32).astype(jnp.float32)
-    slab = jnp.concatenate([slab0, slab1], axis=0)
-
-    # ---- vertical window sums: one MXU matmul against a lower-triangular
-    # ones matrix gives the row prefix sums; every partial sum < 2^24 so the
-    # f32 arithmetic is exact.  No sequential loop, no dynamic indexing. ----
-    rows = jax.lax.broadcasted_iota(jnp.int32, (nslab, nslab), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (nslab, nslab), 1)
-    ltri = (rows >= cols).astype(jnp.float32)
-    cs = (
-        _mm(ltri[:, :th], slab0) + _mm(ltri[:, th:], slab1)
-    ).astype(jnp.int32)
-
-    # normal windows for output row t (slab center t+r): cs[t+2r] - cs[t-1]
-    zero_row = jnp.zeros_like(cs[0:1, :])
-    cs_prev = jnp.concatenate([zero_row, cs[: th - 1]], axis=0)   # cs[t-1]
-    wn = cs[2 * r : 2 * r + th] - cs_prev
-    # bottom-quirk windows (reference mirrorRows bottom rule): for global row
-    # j >= hgt-r, W(j) = sum(x[j-r..hgt-1]) + sum(x[hgt-1-r..j-1])
-    #              = (C1 - cs[t-1]) + (cs[t+r-1] - C2)
-    # with C1 = prefix through slab row hgt-1+r-i0, C2 = through hgt-2-i0,
-    # computed as masked reductions (no dynamic indexing).
-    srows = jax.lax.broadcasted_iota(jnp.int32, (nslab, 1), 0)
-    m1 = (srows <= jnp.int32(hgt - 1 + r) - i0).astype(jnp.float32)
-    m2 = (srows <= jnp.int32(hgt - 2) - i0).astype(jnp.float32)
-    c1 = jnp.sum(slab * m1, axis=0, keepdims=True).astype(jnp.int32)
-    c2 = jnp.sum(slab * m2, axis=0, keepdims=True).astype(jnp.int32)
-    wq = (c1 - cs_prev) + (cs[r - 1 : th + r - 1] - c2)
-    out_rows = jax.lax.broadcasted_iota(jnp.int32, (th, 1), 0) + i0
-    wv = jnp.where(out_rows >= jnp.int32(hgt - r), wq, wn)
+    # ---- vertical window sums: three MXU band matmuls (main tile + slim
+    # head/tail neighbor views), weights built in global row coords so the
+    # top reflect-101 and bottom quirk need no padded copy of the input ----
+    head_off = jnp.maximum(i0 - jnp.int32(rblk), jnp.int32(0))
+    tail_off = jnp.minimum(i0 + jnp.int32(th), jnp.int32(qmax * rblk))
+    big = jnp.int32(2 ** 30)
+    segs = []
+    for ref, ln, off, lo_keep, hi_keep in (
+        (main_ref, th, i0, i0, i0 + th),
+        (head_ref, rblk, head_off, -big, i0),
+        (tail_ref, rblk, tail_off, i0 + th, big),
+    ):
+        v = jax.lax.broadcasted_iota(jnp.int32, (th, ln), 1) + off
+        b = _band_weights(g, v, lo_keep, hi_keep, r, hgt)
+        segs.append((b, ref[0].astype(jnp.int32)))
+    if wide:
+        lo = sum(_mm16(b, (s & 255).astype(jnp.bfloat16)) for b, s in segs)
+        hi = sum(_mm16(b, (s >> 8).astype(jnp.bfloat16)) for b, s in segs)
+        wv = (hi.astype(jnp.int32) << 8) + lo.astype(jnp.int32)
+    else:
+        wv = sum(
+            _mm16(b, s.astype(jnp.bfloat16)) for b, s in segs
+        ).astype(jnp.int32)
     tmp = _quantize_div(wv, ksize)
 
     # ---- horizontal fixed-point pass on tmp (TH, W) ----
@@ -180,34 +205,53 @@ def ct_blur_int_pallas(x, radius: int, tile_h: int = 128):
     ksize = 2 * r + 1
     inv = ((1 << 32) + r) // ksize
     inv2 = inv >> 16
-    # TH: multiple of 16 (u16 sublane tiling) and >= 2r so the two-block
-    # slab window covers TH + 2r rows
-    th = int(min(tile_h, max(h, 16)))
-    th = max(th, 2 * r)
-    th = (th + 15) & ~15
+    # TH: multiple of 64 (so the slim 32/64-row neighbor views divide it and
+    # sublane tiling holds for u8/u16); among candidates up to tile_h pick
+    # the one wasting the fewest out-of-range rows in the last block
+    lo = 64
+    hi = max(int(tile_h) & ~63, lo)
+    th = min(
+        range(lo, hi + 1, 64),
+        key=lambda t: (-(h // -t) * t - h, -t),
+    )
+    rblk = 32 if 2 * r <= 32 else 64  # slim neighbor-view height (divides th)
+    if h < rblk:
+        # tiny planes: make the clamped views well-defined (cheap copy)
+        x = jnp.concatenate(
+            [x, jnp.zeros((n, rblk - h, w), x.dtype)], axis=1
+        )
+    hs = x.shape[1]
+    # last slim-view index that still contains row hs-1 (the view may extend
+    # past the array; out-of-range rows are garbage and carry zero weight)
+    qmax = (hs - 1) // rblk
     num_blocks = pl.cdiv(h, th)
-    # top pad with reflect-101 (the comptime top mirror: rows r..1), bottom
-    # pad so block j+1 of the two-block slab window stays in bounds
-    top = jnp.flip(x[:, 1 : r + 1, :], axis=1)
-    bot_rows = (num_blocks + 1) * th - (h + r)
-    bot = jnp.zeros((n, max(bot_rows, 0), w), x.dtype)
-    xpad = jnp.concatenate([top, x, bot], axis=1)
 
     kern = functools.partial(
-        _ct_int_kernel, radius=r, hgt=h, th=th, inv=inv, inv2=inv2
+        _ct_int_kernel, radius=r, hgt=h, th=th, rblk=rblk, qmax=qmax,
+        inv=inv, inv2=inv2, wide=(x.dtype.itemsize == 2),
     )
     zero = np.int32(0)  # a Python-int 0 would trace as i64 under x64
-    blk = lambda d: pl.BlockSpec(
-        (1, th, w),
-        lambda i, j, d=d: (i, j + np.int32(d), zero),
-        memory_space=pltpu.VMEM,
-    )
+    q = np.int32(th // rblk)
+    qmx = np.int32(qmax)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((n, h, w), x.dtype),
         grid=(n, num_blocks),
-        in_specs=[blk(0), blk(1)],
+        in_specs=[
+            pl.BlockSpec((1, th, w), lambda i, j: (i, j, zero),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, rblk, w),
+                lambda i, j: (i, jnp.maximum(j * q - np.int32(1), zero), zero),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, rblk, w),
+                lambda i, j: (i, jnp.minimum((j + np.int32(1)) * q, qmx), zero),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
         out_specs=pl.BlockSpec(
             (1, th, w), lambda i, j: (i, j, zero), memory_space=pltpu.VMEM
         ),
-    )(xpad, xpad)
+    )(x, x, x)
