@@ -36,6 +36,7 @@ from .core.format import (  # noqa: E402
     get_format,
 )
 from .core.params import VSZipError  # noqa: E402
+from .core.resample import bit_depth, srgb_to_linear, to_rgbs  # noqa: E402
 from .io import image_read  # noqa: E402
 from .ops import *  # noqa: E402,F401,F403
 

@@ -10,9 +10,11 @@ documented deviation (goldens in this repo pin these semantics).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from .clip import Clip
 from .format import ColorFamily, SampleType, get_format
+from .params import VSZipError
 
 # matrix coefficients: (Kr, Kb)
 _MATRICES = {1: (0.2126, 0.0722), 6: (0.299, 0.114)}  # 709, 601
@@ -85,6 +87,88 @@ def to_rgbs(clip: Clip) -> Clip:
         planes = (r, g, b)
     planes = tuple(p.astype(jnp.float32) for p in planes)
     return Clip(planes, get_format("RGBS"), dict(clip.props))
+
+
+# Bayer 8x8 ordered-dither matrix (index dither; the rebuild's documented
+# stand-in for zimg error diffusion, which is inherently sequential and
+# hostile to TPU dataflow).
+_BAYER8 = np.array(
+    [
+        [0, 48, 12, 60, 3, 51, 15, 63],
+        [32, 16, 44, 28, 35, 19, 47, 31],
+        [8, 56, 4, 52, 11, 59, 7, 55],
+        [40, 24, 36, 20, 43, 27, 39, 23],
+        [2, 50, 14, 62, 1, 49, 13, 61],
+        [34, 18, 46, 30, 33, 17, 45, 29],
+        [10, 58, 6, 54, 9, 57, 5, 53],
+        [42, 26, 38, 22, 41, 25, 37, 21],
+    ],
+    np.int32,
+)
+
+
+def _ordered_bias(h: int, w: int, shift: int):
+    """Per-pixel rounding bias for a >>shift demote: (bayer+0.5)/64 * 2^shift."""
+    by = _BAYER8[np.arange(h)[:, None] & 7, np.arange(w)[None, :] & 7]
+    return jnp.asarray(np.round((by + 0.5) / 64.0 * (1 << shift)).astype(np.int32))
+
+
+def _int_dtype(bits: int):
+    return jnp.uint8 if bits <= 8 else (jnp.uint16 if bits <= 16 else jnp.uint32)
+
+
+def bit_depth(clip: Clip, bits: int, sample_type: SampleType | None = None,
+              dither: str = "ordered") -> Clip:
+    """Depth conversion (the rebuild's analogue of the reference's
+    ``bitDepth`` Resize.Point invoke, src/helper.zig:470-494, used by Deband's
+    <16-bit promote/demote and XPSNR's depth matching).
+
+    Integer<->integer conversions are bit shifts (neo-f3kdb's internal
+    convention, which the reference filters rely on); integer demotes apply an
+    ordered Bayer dither unless ``dither="none"`` (documented deviation: the
+    reference's zimg path offers error diffusion).  Integer<->float converts
+    through full-range normalization.
+    """
+    fmt = clip.format
+    st = sample_type or (SampleType.FLOAT if bits == 32 and
+                         fmt.sample_type is SampleType.FLOAT else
+                         SampleType.INTEGER if bits <= 16 else fmt.sample_type)
+    if dither not in ("ordered", "none"):
+        raise VSZipError(f"bit_depth: unknown dither '{dither}'.")
+    if st is fmt.sample_type and bits == fmt.bits_per_sample:
+        return clip
+
+    out = []
+    for p in clip.planes:
+        if fmt.sample_type is SampleType.INTEGER and st is SampleType.INTEGER:
+            if bits >= fmt.bits_per_sample:
+                y = p.astype(_int_dtype(bits)) << (bits - fmt.bits_per_sample)
+            else:
+                shift = fmt.bits_per_sample - bits
+                v = p.astype(jnp.int32)
+                if dither == "ordered":
+                    v = v + _ordered_bias(p.shape[1], p.shape[2], shift)
+                else:
+                    v = v + (1 << (shift - 1))
+                y = jnp.clip(v >> shift, 0, (1 << bits) - 1).astype(
+                    _int_dtype(bits))
+        elif fmt.sample_type is SampleType.INTEGER:  # int -> float
+            peak = (1 << fmt.bits_per_sample) - 1
+            y = (p.astype(jnp.float32) / peak).astype(
+                jnp.float16 if bits == 16 else jnp.float32)
+        elif st is SampleType.INTEGER:  # float -> int
+            peak = (1 << bits) - 1
+            y = jnp.clip(
+                jnp.round(p.astype(jnp.float32) * peak), 0, peak
+            ).astype(_int_dtype(bits))
+        else:  # float -> float
+            y = p.astype(jnp.float16 if bits == 16 else jnp.float32)
+        out.append(y)
+    return Clip(
+        tuple(out),
+        fmt.replace(bits_per_sample=bits, sample_type=st),
+        dict(clip.props),
+    )
 
 
 def srgb_to_linear(clip: Clip) -> Clip:

@@ -318,8 +318,8 @@ def xpsnr(reference: Clip, distorted: Clip, temporal: bool = True,
 
 
 def _promote(clip: Clip, bits: int) -> Clip:
-    import jax.numpy as jnp
+    # depth matching via the shared bitDepth analogue (reference
+    # src/vapoursynth/xpsnr.zig:165-169 invokes helper.zig bitDepth)
+    from ..core.resample import bit_depth
 
-    sh = bits - clip.format.bits_per_sample
-    planes = tuple((p.astype(jnp.uint16) << sh) for p in clip.planes)
-    return Clip(planes, clip.format.replace(bits_per_sample=bits), dict(clip.props))
+    return bit_depth(clip, bits)
