@@ -77,9 +77,10 @@ def test_truncated_matches_oracle(make_clip, fmt, params):
     if is_int:
         diff = np.abs(got.astype(np.int64) - ref.astype(np.int64))
         assert diff.max() <= 1, f"max diff {diff.max()}"
-        # f32 accumulation-order differences flip the +-0.5 rounding boundary
-        # on a small fraction of pixels
-        assert (diff > 0).mean() < 0.005
+        # f32 accumulation-order differences and the on-device f32 exp (the
+        # oracle bakes f64-exp LUT weights; see ops/bilateral._gr_direct)
+        # flip the +-0.5 rounding boundary on a small fraction of pixels
+        assert (diff > 0).mean() < 0.01
     else:
         np.testing.assert_allclose(
             got.astype(np.float32), ref.astype(np.float32), rtol=1e-5, atol=1e-6

@@ -100,7 +100,7 @@ def _shift2d_clamp(x, dy: int, dx: int):
     return x
 
 
-def _range_weight(gr, cx, nb, is_int: bool):
+def _range_weight(grf, cx, nb, is_int: bool):
     if is_int:
         idx = jnp.abs(cx.astype(jnp.int32) - nb.astype(jnp.int32))
     else:
@@ -111,36 +111,66 @@ def _range_weight(gr, cx, nb, is_int: bool):
             jnp.minimum(jnp.float32(1.0), ad) * jnp.float32(65535.0)
             + jnp.float32(0.5)
         ).astype(jnp.int32)
-    return gr[idx]
+    return grf(idx)
 
 
-@partial(jax.jit, static_argnums=(4, 5, 6, 7))
-def _truncated(src, ref, gs, gr, radius: int, step: int, peak: float,
-               is_int: bool):
+def _gr_direct(hist_len: int, sigma_r: float):
+    """Direct evaluation of the range-weight function (the reference bakes
+    it into a hist_len LUT, src/filters/bilateral.zig:306-348; per-pixel
+    table gathers are pathological on TPU, so the same expression is
+    evaluated vectorized instead — identical formula, f32 exp)."""
+    rng = float(hist_len - 1)
+    upper = float(np.trunc(min(rng, sigma_r * 8.0 * rng + 0.5)))
+
+    def weight(idx):
+        # replicate the LUT builder's f64 argument math exactly, then take
+        # the exp in f32 (emulated-f64 exp costs ~2.4x and dominates the
+        # filter; the f32 exp changes weights by <=2 ulp, which flips the
+        # +-0.5 output rounding on <1% of pixels at most 1 LSB)
+        j = jnp.minimum(idx.astype(jnp.float64), np.float64(upper)) / rng
+        t = j / np.float64(sigma_r)
+        a = (t * t / np.float64(-2.0)).astype(jnp.float32)
+        return jnp.exp(a) * np.float32(
+            1.0 / (math.sqrt(2.0 * math.pi) * sigma_r)
+        )
+
+    return weight
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
+def _truncated(src, ref, gs, sigma_r: float, hist_len: int, radius: int,
+               step: int, peak: float, is_int: bool):
+    grf = _gr_direct(hist_len, sigma_r)
+    n, h, w = src.shape
+    # pad once with replicate edges; every tap is then a pure slice, which
+    # XLA fuses into the arithmetic as offset reads (no per-tap copies)
+    rpad = ((0, 0), (radius, radius), (radius, radius))
+    srcp = jnp.pad(src, rpad, mode="edge")
+    refp = srcp if src is ref else jnp.pad(ref, rpad, mode="edge")
+
+    def tap(a, dy, dx):
+        return jax.lax.slice(
+            a, (0, radius + dy, radius + dx), (n, radius + dy + h, radius + dx + w)
+        )
+
     sf = src.astype(jnp.float32)
     cx = ref
-    w0 = gs[0] * gr[0]
+    w0 = gs[0] * grf(jnp.zeros((), jnp.int32))
     wsum = jnp.broadcast_to(w0, src.shape).astype(jnp.float32)
     s = sf * w0
     radius2 = radius + 1
     for yy in range(1, radius2, step):
         for xx in range(1, radius2, step):
             swei = gs[yy * radius2 + xx]
-            taps = [
-                _shift2d_clamp(ref, -yy, xx), _shift2d_clamp(ref, yy, xx),
-                _shift2d_clamp(ref, -yy, -xx), _shift2d_clamp(ref, yy, -xx),
+            offs = [(-yy, xx), (yy, xx), (-yy, -xx), (yy, -xx)]
+            rws = [
+                _range_weight(grf, cx, tap(refp, dy, dx), is_int)
+                for dy, dx in offs
             ]
-            staps = [
-                _shift2d_clamp(src, -yy, xx), _shift2d_clamp(src, yy, xx),
-                _shift2d_clamp(src, -yy, -xx), _shift2d_clamp(src, yy, -xx),
-            ]
-            rws = [_range_weight(gr, cx, t, is_int) for t in taps]
             wsum = wsum + swei * (rws[0] + rws[1] + rws[2] + rws[3])
-            s = s + swei * (
-                staps[0].astype(jnp.float32) * rws[0]
-                + staps[1].astype(jnp.float32) * rws[1]
-                + staps[2].astype(jnp.float32) * rws[2]
-                + staps[3].astype(jnp.float32) * rws[3]
+            s = s + swei * sum(
+                tap(srcp, dy, dx).astype(jnp.float32) * rw
+                for (dy, dx), rw in zip(offs, rws)
             )
     r = s / wsum
     if is_int:
@@ -185,9 +215,9 @@ def _iir_scan(x, b, b1, b2, b3, axis: int, compute_ends: bool):
     return jnp.moveaxis(z, 0, axis)
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
 def _pbfic(src, ref, num: int, sigma_s: float, peak: float, is_int: bool,
-           gr=None):
+           sigma_r: float = 0.02, hist_len: int = 65536):
     n, h, w = src.shape
     b, b1, b2, b3 = _recursive_gaussian_params(sigma_s)
     if is_int:
@@ -201,8 +231,10 @@ def _pbfic(src, ref, num: int, sigma_s: float, peak: float, is_int: bool,
     reff = ref.astype(jnp.float32)
     srcf = src.astype(jnp.float32)
 
+    grf = _gr_direct(hist_len, sigma_r)
+
     def level(pk):
-        wk = _range_weight(gr, jnp.full_like(ref, pk.astype(ref.dtype)), ref,
+        wk = _range_weight(grf, jnp.full_like(ref, pk.astype(ref.dtype)), ref,
                            is_int).astype(jnp.float32)
         jk = wk * srcf
         wk = _iir_scan(wk, b, b1, b2, b3, 2, False)
@@ -220,10 +252,17 @@ def _pbfic(src, ref, num: int, sigma_s: float, peak: float, is_int: bool,
     for k in range(num - 3, -1, -1):
         cond = (reff < pb[k + 1]) & (reff >= pb[k])
         k_sel = jnp.where(cond, k, k_sel)
-    p0 = pb[k_sel]
-    p1 = pb[k_sel + 1]
-    lo = jnp.take_along_axis(planes, k_sel[None], axis=0)[0]
-    hi = jnp.take_along_axis(planes, (k_sel + 1)[None], axis=0)[0]
+    # per-pixel bracket select without gathers (num is small and static)
+    p0 = jnp.zeros(src.shape, jnp.float32)
+    p1 = jnp.zeros(src.shape, jnp.float32)
+    lo = jnp.zeros(src.shape, jnp.float32)
+    hi = jnp.zeros(src.shape, jnp.float32)
+    for k in range(num - 1):
+        m = k_sel == k
+        p0 = jnp.where(m, pb[k], p0)
+        p1 = jnp.where(m, pb[k + 1], p1)
+        lo = jnp.where(m, planes[k], lo)
+        hi = jnp.where(m, planes[k + 1], hi)
     vf = ((p1 - reff) * lo + (reff - p0) * hi) / (p1 - p0)
     if is_int:
         return jnp.trunc(
@@ -347,14 +386,15 @@ def bilateral(clip: Clip, ref: Clip | None = None, sigmaS=None, sigmaR=None,
             out.append(x)
             continue
         rp = rclip.planes[p][:nf]
-        gr = jnp.asarray(_gr_lut(hist_len, s_r[p]))
         if alg[p] == 1:
             out.append(
-                _pbfic(x, rp, pbficnum[p], float(s_s[p]), peak, is_int, gr=gr)
+                _pbfic(x, rp, pbficnum[p], float(s_s[p]), peak, is_int,
+                       sigma_r=float(s_r[p]), hist_len=hist_len)
             )
         else:
             gs = jnp.asarray(_gs_lut(radius[p], s_s[p]).reshape(-1))
             out.append(
-                _truncated(x, rp, gs, gr, radius[p], step[p], peak, is_int)
+                _truncated(x, rp, gs, float(s_r[p]), hist_len, radius[p],
+                           step[p], peak, is_int)
             )
     return clip.with_planes(out)
