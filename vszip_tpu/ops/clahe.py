@@ -44,17 +44,25 @@ def _clahe_plane(x, limit: int, tiles_x: int, tiles_y: int, bits: int):
     xi = x[:, : tiles_y * tile_h, : tiles_x * tile_w].astype(jnp.int32)
     txy = xi.reshape(n, tiles_y, tile_h, tiles_x, tile_w)
     vals = txy.transpose(0, 1, 3, 2, 4).reshape(n * tiles_y * tiles_x, tile_area)
-    offs = (
-        jax.lax.broadcasted_iota(jnp.int32, (n * tiles_y * tiles_x, 1), 0)
-        * hist_size
-    )
-    flat_idx = (vals + offs).reshape(-1)
-    hist = (
-        jnp.zeros((n * tiles_y * tiles_x * hist_size,), jnp.int32)
-        .at[flat_idx]
-        .add(1)
-        .reshape(n, tiles_y * tiles_x, hist_size)
-    )
+    if bits <= 8:
+        # compare-reduce: TPU scatters serialize, but a broadcast compare
+        # against the 256 bins fuses into the reduction (~14x faster here)
+        bins = jnp.arange(hist_size, dtype=jnp.int32)
+        hist = jnp.sum(
+            vals[:, :, None] == bins[None, None, :], axis=1, dtype=jnp.int32
+        ).reshape(n, tiles_y * tiles_x, hist_size)
+    else:
+        offs = (
+            jax.lax.broadcasted_iota(jnp.int32, (n * tiles_y * tiles_x, 1), 0)
+            * hist_size
+        )
+        flat_idx = (vals + offs).reshape(-1)
+        hist = (
+            jnp.zeros((n * tiles_y * tiles_x * hist_size,), jnp.int32)
+            .at[flat_idx]
+            .add(1)
+            .reshape(n, tiles_y * tiles_x, hist_size)
+        )
 
     # --- clip + redistribute ---
     excess = jnp.sum(jnp.maximum(hist - clip_limit, 0), axis=-1, keepdims=True)
@@ -72,6 +80,66 @@ def _clahe_plane(x, limit: int, tiles_x: int, tiles_y: int, bits: int):
     lut = jnp.trunc(cdf.astype(jnp.float32) * lut_scale + jnp.float32(0.5)).astype(
         jnp.int32
     )  # values <= peak, fits the storage type
+
+    if bits <= 8:
+        # --- gather-free bilinear LUT interpolation ---
+        # Pad so rows/cols split into half-tile-shifted cells; inside a cell
+        # the four neighbor-tile indices are constant, so the per-pixel
+        # lookup becomes one fused compare-select over the 256 bins against
+        # a per-cell blended weight table.
+        thh, twh = tile_h // 2, tile_w // 2
+        ry_n = -((thh + height) // -tile_h)
+        rx_n = -((twh + width) // -tile_w)
+        hp, wp = ry_n * tile_h, rx_n * tile_w
+        xp2 = jnp.pad(
+            x.astype(jnp.int32),
+            ((0, 0), (thh, hp - thh - height), (twh, wp - twh - width)),
+        )
+        cells = xp2.reshape(n, ry_n, tile_h, rx_n, tile_w)
+        lutg = lut.reshape(n, tiles_y, tiles_x, hist_size).astype(jnp.float32)
+        ty1r = np.clip(np.arange(ry_n) - 1, 0, tiles_y - 1)
+        ty2r = np.minimum(np.arange(ry_n), tiles_y - 1)
+        tx1r = np.clip(np.arange(rx_n) - 1, 0, tiles_x - 1)
+        tx2r = np.minimum(np.arange(rx_n), tiles_x - 1)
+
+        def sel(tyr, txr):  # (n, RY, RX, B) table per cell
+            return lutg[:, tyr][:, :, txr]
+
+        # blend fractions on the padded grid (pad rows are sliced away, and
+        # in clamped cells both tiles agree so the fraction is irrelevant);
+        # the f32 reciprocal multiply matches the reference's per-pixel math
+        ysp = (np.arange(hp) - thh).astype(np.float32)
+        tyf = ysp * np.float32(1.0 / tile_h) - np.float32(0.5)
+        ya_p = jnp.asarray(
+            (tyf - np.floor(tyf)).astype(np.float32).reshape(1, ry_n, tile_h, 1, 1)
+        )
+        xsp = (np.arange(wp) - twh).astype(np.float32)
+        txf = xsp * np.float32(1.0 / tile_w) - np.float32(0.5)
+        xa_p = jnp.asarray(
+            (txf - np.floor(txf)).astype(np.float32).reshape(1, 1, 1, rx_n, tile_w)
+        )
+        # bins live on the second-minor (sublane) axis so the pixel lanes
+        # (tw) never relayout; per-cell tables are tiny (B floats).  All 4
+        # neighbor tables go through ONE compare-select reduce — with a
+        # single consumer the (..., B, ...) broadcast compare stays virtual
+        # inside the fusion (4 separate picks made XLA materialize it)
+        bins = jnp.arange(hist_size, dtype=jnp.int32)[:, None]
+        eqv = cells[None, :, :, :, :, None, :] == bins  # (1,n,RY,th,RX,B,tw)
+        tabs = jnp.stack(
+            [sel(ty1r, tx1r), sel(ty1r, tx2r), sel(ty2r, tx1r), sel(ty2r, tx2r)]
+        )  # (4, n, RY, RX, B)
+        picks = jnp.sum(
+            jnp.where(
+                eqv, tabs[:, :, :, None, :, :, None], jnp.float32(0.0)
+            ),
+            axis=-2,
+        )  # (4, n, RY, th, RX, tw)
+        l0, l1, l2, l3 = picks[0], picks[1], picks[2], picks[3]
+        res = (l0 * (1 - xa_p) + l1 * xa_p) * (1 - ya_p) + (
+            l2 * (1 - xa_p) + l3 * xa_p
+        ) * ya_p
+        res = res.reshape(n, hp, wp)[:, thh : thh + height, twh : twh + width]
+        return jnp.trunc(res + jnp.float32(0.5)).astype(x.dtype)
 
     # --- bilinear interpolation of 4 tile LUTs per pixel ---
     xs = np.arange(width, dtype=np.float32)
