@@ -52,21 +52,20 @@ def _dense(x, ref, rh: int, rv: int, m: float, wmax: float, swmin: float,
     ndx = 2 * rh - 1
     ndy = 2 * rv - 1
 
-    def body(carry, t):
-        s, sw = carry
-        dy = t // ndx  # 0 .. 2rv-2  -> offset dy + 1 - rv
-        dx = t % ndx
-        start = (jnp.int32(0), dy + jnp.int32(1), dx + jnp.int32(1))
-        v = jax.lax.dynamic_slice(src_c, start, (n, h, w))
-        vr = jax.lax.dynamic_slice(ref_c, start, (n, h, w))
-        wgt = jnp.maximum(jnp.minimum(jnp.float32(m) - jnp.abs(vr - cen_ref),
-                                      jnp.float32(wmax)), 0.0)
-        return (s + (v - cen) * wgt, sw + wgt), None
-
-    (s, sw), _ = jax.lax.scan(
-        body, (jnp.zeros_like(cen), jnp.zeros_like(cen)),
-        jnp.arange(ndx * ndy, dtype=jnp.int32),
-    )
+    # statically unrolled taps (same row-major order as the reference, so
+    # f32 accumulation is bit-identical); static slices let XLA fuse many
+    # taps per HBM pass, where a lax.scan forced one serialized pass each
+    s = jnp.zeros_like(cen)
+    sw = jnp.zeros_like(cen)
+    for dy in range(1, ndy + 1):
+        for dx in range(1, ndx + 1):
+            v = jax.lax.slice(src_c, (0, dy, dx), (n, dy + h, dx + w))
+            vr = jax.lax.slice(ref_c, (0, dy, dx), (n, dy + h, dx + w))
+            wgt = jnp.maximum(
+                jnp.minimum(jnp.float32(m) - jnp.abs(vr - cen_ref),
+                            jnp.float32(wmax)), 0.0)
+            s = s + (v - cen) * wgt
+            sw = sw + wgt
     p = cen + s / jnp.maximum(sw, jnp.float32(swmin))
     if is_int:
         # round half away from zero (Zig @round); values are clamped >= 0

@@ -54,9 +54,17 @@ def _lut(color: int) -> tuple:
 
 @partial(jax.jit, static_argnums=(1,))
 def _apply(x, color: int):
-    luts = _lut(color)
-    idx = x.astype(jnp.int32)
-    return tuple(jnp.asarray(l)[idx] for l in luts)
+    # compare-select instead of per-pixel gathers (pathological on TPU):
+    # one fused reduce over the 256 bins yields all three channels; bins sit
+    # on the sublane axis so the pixel lanes never relayout
+    luts = jnp.asarray(np.stack(_lut(color)), jnp.uint8)  # (3, 256)
+    bins = jnp.arange(256, dtype=jnp.int32)[:, None]
+    eqv = x.astype(jnp.int32)[None, :, :, None, :] == bins  # (1,N,H,B,W)
+    picked = jnp.sum(
+        jnp.where(eqv, luts[:, None, None, :, None], jnp.uint8(0)),
+        axis=-2, dtype=jnp.uint8,
+    )  # (3, N, H, W)
+    return picked[0], picked[1], picked[2]
 
 
 def colormap(clip: Clip, color: int = 20) -> Clip:
