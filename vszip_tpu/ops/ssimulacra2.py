@@ -243,5 +243,20 @@ def ssimulacra2(reference: Clip, distorted: Clip) -> Clip:
 
     lin1 = srgb_to_linear(to_rgbs(reference))
     lin2 = srgb_to_linear(to_rgbs(distorted))
-    scores = _ssimulacra2_frames(tuple(lin1.planes), tuple(lin2.planes))
+    # the 6-scale pyramid holds dozens of full-frame f32 intermediates;
+    # chunk the frame batch so transients stay well under HBM capacity
+    # (~4 x 1080p frames per chunk)
+    budget = 4 * 1080 * 1920
+    chunk = max(1, budget // max(reference.width * reference.height, 1))
+    n = reference.num_frames
+    if n <= chunk:
+        scores = _ssimulacra2_frames(tuple(lin1.planes), tuple(lin2.planes))
+    else:
+        parts = []
+        for i in range(0, n, chunk):
+            parts.append(_ssimulacra2_frames(
+                tuple(p[i : i + chunk] for p in lin1.planes),
+                tuple(p[i : i + chunk] for p in lin2.planes),
+            ))
+        scores = jnp.concatenate(parts)
     return reference.with_props(SSIMULACRA2=scores)
