@@ -1,0 +1,217 @@
+"""Fused Pallas TPU kernels for BilateralDither (dense + sub-sampled).
+
+The flat-kernel bilateral (reference src/filters/bilateral_dither.zig:34-213)
+evaluates, per pixel, window taps with weight ``clamp(m - |ref_diff|, 0,
+wmax)``.  As jnp that is one HBM pass per tap; here each grid step loads a
+row-tile plus halo into VMEM and runs every tap in registers — one read and
+one write of the plane.  Taps run inside a `fori_loop` whose offsets become
+dynamic `pltpu.roll`s of the VMEM slab (a fully unrolled tap chain would
+exceed Mosaic's scoped-VMEM stack, which does not reuse buffers).
+
+Dense taps accumulate in the reference's (dy, dx) row-major order and the
+sub-sampled path in point-list order, so the f32 sums are bit-identical to
+the jnp paths.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TAIL = 64  # slim tail-view height; bounds rv <= 32
+
+
+def _store(o_ref, p, peak: float, is_int: bool):
+    if is_int:
+        p = jnp.floor(jnp.clip(p, 0.0, jnp.float32(peak)) + jnp.float32(0.5))
+        # Mosaic has no f32->u8/u16 cast; hop through i32
+        o_ref[0] = p.astype(jnp.int32).astype(o_ref.dtype)
+    else:
+        o_ref[0] = p.astype(o_ref.dtype)
+
+
+def _shifted(slab, dy, dx, nslab: int, wp: int, th: int, w: int):
+    """slab rows/lanes cyclically left-shifted by (dy, dx), cropped to
+    (th, w) — i.e. slab[dy : dy+th, dx : dx+w] for 0 <= dy <= 2rv,
+    0 <= dx <= 2rh (no wrap reaches the crop)."""
+    rs = pltpu.roll(slab, jnp.int32(nslab) - dy, 0)
+    rs = pltpu.roll(rs, jnp.int32(wp) - dx, 1)
+    return jax.lax.slice(rs, (0, 0), (th, w))
+
+
+def _dense_kernel(m0_ref, t0_ref, m1_ref, t1_ref, o_ref, *, rh: int, rv: int,
+                  m: float, wmax: float, swmin: float, peak: float,
+                  is_int: bool, has_ref: bool, th: int, w: int):
+    halo = min((2 * rv + 7) & ~7, _TAIL)  # 8-aligned for sublane rolls
+    slab = jnp.concatenate([m0_ref[0], t0_ref[0, :halo, :]], axis=0)
+    rslab = (jnp.concatenate([m1_ref[0], t1_ref[0, :halo, :]], axis=0)
+             if has_ref else slab)
+    nslab, wp = slab.shape
+    cen = jax.lax.slice(slab, (rv, rh), (rv + th, rh + w))
+    cen_ref = (jax.lax.slice(rslab, (rv, rh), (rv + th, rh + w))
+               if has_ref else cen)
+    ndx = 2 * rh - 1
+
+    def body(k, carry):
+        s, sw = carry
+        dy = jnp.int32(1) + k // jnp.int32(ndx)
+        dx = jnp.int32(1) + k % jnp.int32(ndx)
+        v = _shifted(slab, dy, dx, nslab, wp, th, w)
+        vr = (_shifted(rslab, dy, dx, nslab, wp, th, w) if has_ref else v)
+        wgt = jnp.maximum(
+            jnp.minimum(jnp.float32(m) - jnp.abs(vr - cen_ref),
+                        jnp.float32(wmax)), 0.0)
+        return s + (v - cen) * wgt, sw + wgt
+
+    zeros = jnp.zeros((th, w), jnp.float32)
+    s, sw = jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32((2 * rv - 1) * ndx), body, (zeros, zeros))
+    _store(o_ref, cen + s / jnp.maximum(sw, jnp.float32(swmin)), peak, is_int)
+
+
+def _subspl_kernel(m0_ref, t0_ref, m1_ref, t1_ref, lid_ref, dyx_ref, o_ref, *,
+                   nbr: int, k: int, rh: int, rv: int, m: float, wmax: float,
+                   swmin: float, peak: float, is_int: bool, has_ref: bool,
+                   th: int, w: int):
+    halo = min((2 * rv + 7) & ~7, _TAIL)  # 8-aligned for sublane rolls
+    slab = jnp.concatenate([m0_ref[0], t0_ref[0, :halo, :]], axis=0)
+    rslab = (jnp.concatenate([m1_ref[0], t1_ref[0, :halo, :]], axis=0)
+             if has_ref else slab)
+    nslab, wp = slab.shape
+    cen = jax.lax.slice(slab, (rv, rh), (rv + th, rh + w))
+    cen_ref = (jax.lax.slice(rslab, (rv, rh), (rv + th, rh + w))
+               if has_ref else cen)
+    lid = lid_ref[0]
+
+    def tap(j, carry):
+        s, sw = carry
+
+        def lsel(t, vv):
+            v, vr = vv
+            # point-list t, tap j: offsets from the SMEM-resident table
+            dy = dyx_ref[0, t, j] + jnp.int32(rv)
+            dx = dyx_ref[1, t, j] + jnp.int32(rh)
+            sel = lid == t
+            v = jnp.where(sel, _shifted(slab, dy, dx, nslab, wp, th, w), v)
+            if has_ref:
+                vr = jnp.where(
+                    sel, _shifted(rslab, dy, dx, nslab, wp, th, w), vr)
+            return v, vr
+
+        zeros = jnp.zeros((th, w), jnp.float32)
+        v, vr = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(nbr), lsel, (zeros, zeros))
+        if not has_ref:
+            vr = v
+        wgt = jnp.maximum(
+            jnp.minimum(jnp.float32(m) - jnp.abs(vr - cen_ref),
+                        jnp.float32(wmax)), 0.0)
+        return s + (v - cen) * wgt, sw + wgt
+
+    zeros = jnp.zeros((th, w), jnp.float32)
+    s, sw = jax.lax.fori_loop(jnp.int32(0), jnp.int32(k), tap, (zeros, zeros))
+    _store(o_ref, cen + s / jnp.maximum(sw, jnp.float32(swmin)), peak, is_int)
+
+
+def _padded(xpad, rpad_or_none, rv: int, th: int):
+    """bottom-pad so main blocks and slim tail views stay well-defined, and
+    lane-pad to a 128 multiple (dynamic rolls need aligned shapes)."""
+    n, hp_, wp_ = xpad.shape
+    h = hp_ - 2 * rv
+    nb = pl.cdiv(h, th)
+    extra = max(nb * th + _TAIL - hp_, 0)
+    lpad = (-wp_) % 128
+
+    def pad(a):
+        if extra:
+            a = jnp.concatenate(
+                [a, jnp.zeros((n, extra, a.shape[2]), a.dtype)], axis=1)
+        if lpad:
+            a = jnp.concatenate(
+                [a, jnp.zeros((n, a.shape[1], lpad), a.dtype)], axis=2)
+        return a
+
+    xpad = pad(xpad)
+    rpad_or_none = None if rpad_or_none is None else pad(rpad_or_none)
+    return xpad, rpad_or_none, h, nb
+
+
+def _specs(th: int, wp_: int, rows: int):
+    zero = np.int32(0)
+    qmx = np.int32((rows - 1) // _TAIL)
+    main = pl.BlockSpec((1, th, wp_), lambda i, j: (i, j, zero),
+                        memory_space=pltpu.VMEM)
+    tail = pl.BlockSpec(
+        (1, _TAIL, wp_),
+        lambda i, j: (i, jnp.minimum(j + np.int32(1), qmx), zero),
+        memory_space=pltpu.VMEM,
+    )
+    return main, tail
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
+def dense_blur_pallas(xpad, rpad_or_none, rh: int, rv: int, m: float,
+                      wmax: float, swmin: float, peak: float, is_int: bool,
+                      out_dtype):
+    """xpad: (N, H+2rv, W+2rh) f32 mirror-padded cache (and the optional
+    joint-ref cache of the same shape).  Returns (N, H, W) out_dtype."""
+    n, _, wp_ = xpad.shape
+    has_ref = rpad_or_none is not None
+    th = 64
+    xpad, rp, h, nb = _padded(xpad, rpad_or_none, rv, th)
+    w = wp_ - 2 * rh
+    kern = functools.partial(
+        _dense_kernel, rh=rh, rv=rv, m=m, wmax=wmax, swmin=swmin, peak=peak,
+        is_int=is_int, has_ref=has_ref, th=th, w=w,
+    )
+    main, tail = _specs(th, xpad.shape[2], xpad.shape[1])
+    zero = np.int32(0)
+    rsrc = rp if has_ref else xpad
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n, h, w), out_dtype),
+        grid=(n, nb),
+        in_specs=[main, tail, main, tail],
+        out_specs=pl.BlockSpec((1, th, w), lambda i, j: (i, j, zero),
+                               memory_space=pltpu.VMEM),
+    )(xpad, xpad, rsrc, rsrc)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
+def subspl_blur_pallas(xpad, rpad_or_none, list_plane, dyx, rh: int, rv: int,
+                       m: float, wmax: float, swmin: float, peak: float,
+                       is_int: bool, out_dtype):
+    """Sub-sampled path: per-pixel tap addresses come from one of NBR
+    precomputed point lists (reference bilateral_dither_subspl.zig); each
+    tap is a select over the lists instead of a flat gather.
+    dyx: (2, NBR, k) int32 offsets; list_plane: (1, H, W) int32 ids."""
+    n, _, wp_ = xpad.shape
+    has_ref = rpad_or_none is not None
+    th = 64
+    xpad, rp, h, nb = _padded(xpad, rpad_or_none, rv, th)
+    w = wp_ - 2 * rh
+    _, nbr, k = dyx.shape
+    kern = functools.partial(
+        _subspl_kernel, nbr=nbr, k=k, rh=rh, rv=rv, m=m, wmax=wmax,
+        swmin=swmin, peak=peak, is_int=is_int, has_ref=has_ref, th=th, w=w,
+    )
+    main, tail = _specs(th, xpad.shape[2], xpad.shape[1])
+    zero = np.int32(0)
+    lid = pl.BlockSpec((1, th, w), lambda i, j: (zero, j, zero),
+                       memory_space=pltpu.VMEM)
+    tab = pl.BlockSpec(dyx.shape, lambda i, j: (zero, zero, zero),
+                       memory_space=pltpu.SMEM)
+    rsrc = rp if has_ref else xpad
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n, h, w), out_dtype),
+        grid=(n, nb),
+        in_specs=[main, tail, main, tail, lid, tab],
+        out_specs=pl.BlockSpec((1, th, w), lambda i, j: (i, j, zero),
+                               memory_space=pltpu.VMEM),
+    )(xpad, xpad, rsrc, rsrc, list_plane, dyx)
