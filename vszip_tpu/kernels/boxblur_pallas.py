@@ -144,30 +144,47 @@ def _ct_int_kernel(main_ref, head_ref, tail_ref, o_ref, *, radius: int,
     i0 = pl.program_id(1) * jnp.int32(th)  # first output row of this block
     g = jax.lax.broadcasted_iota(jnp.int32, (th, 1), 0) + i0
 
-    # ---- vertical window sums: three MXU band matmuls (main tile + slim
-    # head/tail neighbor views), weights built in global row coords so the
-    # top reflect-101 and bottom quirk need no padded copy of the input ----
+    # ---- vertical window sums: MXU band matmuls over 64-row strips, each
+    # contracting only its (64 + 2*rblk)-row halo (a whole-tile band matmul
+    # would waste FLOPs on the zero region far from the diagonal); weights
+    # are built in global row coords, so the top reflect-101 and bottom
+    # quirk need no padded copy of the input ----
     head_off = jnp.maximum(i0 - jnp.int32(rblk), jnp.int32(0))
     tail_off = jnp.minimum(i0 + jnp.int32(th), jnp.int32(qmax * rblk))
     big = jnp.int32(2 ** 30)
-    segs = []
-    for ref, ln, off, lo_keep, hi_keep in (
-        (main_ref, th, i0, i0, i0 + th),
-        (head_ref, rblk, head_off, -big, i0),
-        (tail_ref, rblk, tail_off, i0 + th, big),
-    ):
-        v = jax.lax.broadcasted_iota(jnp.int32, (th, ln), 1) + off
-        b = _band_weights(g, v, lo_keep, hi_keep, r, hgt)
-        segs.append((b, ref[0].astype(jnp.int32)))
-    if wide:
-        lo = sum(_mm16(b, (s & 255).astype(jnp.bfloat16)) for b, s in segs)
-        hi = sum(_mm16(b, (s >> 8).astype(jnp.bfloat16)) for b, s in segs)
-        wv = (hi.astype(jnp.int32) << 8) + lo.astype(jnp.int32)
-    else:
-        wv = sum(
-            _mm16(b, s.astype(jnp.bfloat16)) for b, s in segs
-        ).astype(jnp.int32)
-    tmp = _quantize_div(wv, ksize)
+    sh = 64  # strip height (th is a multiple of 64)
+    main = main_ref[0]
+    strips = []
+    for st in range(th // sh):
+        gs = jax.lax.broadcasted_iota(jnp.int32, (sh, 1), 0) + (
+            i0 + jnp.int32(st * sh))
+        lo_row = st * sh - rblk
+        hi_row = st * sh + sh + rblk
+        segs = []
+        if lo_row < 0:
+            segs.append((head_ref[0], rblk, head_off, -big, i0))
+        mlo, mhi = max(lo_row, 0), min(hi_row, th)
+        segs.append((
+            jax.lax.slice(main, (mlo, 0), (mhi, main.shape[1])),
+            mhi - mlo, i0 + jnp.int32(mlo), i0, i0 + th,
+        ))
+        if hi_row > th:
+            segs.append((tail_ref[0], rblk, tail_off, i0 + th, big))
+        bs = []
+        for src, ln, off, lo_keep, hi_keep in segs:
+            v = jax.lax.broadcasted_iota(jnp.int32, (sh, ln), 1) + off
+            bs.append((_band_weights(gs, v, lo_keep, hi_keep, r, hgt),
+                       src.astype(jnp.int32)))
+        if wide:
+            lo = sum(_mm16(b, (s & 255).astype(jnp.bfloat16)) for b, s in bs)
+            hi = sum(_mm16(b, (s >> 8).astype(jnp.bfloat16)) for b, s in bs)
+            wv = (hi.astype(jnp.int32) << 8) + lo.astype(jnp.int32)
+        else:
+            wv = sum(
+                _mm16(b, s.astype(jnp.bfloat16)) for b, s in bs
+            ).astype(jnp.int32)
+        strips.append(_quantize_div(wv, ksize))
+    tmp = strips[0] if len(strips) == 1 else jnp.concatenate(strips, axis=0)
 
     # ---- horizontal fixed-point pass on tmp (TH, W) ----
     w = tmp.shape[-1]
@@ -198,7 +215,7 @@ def _ct_int_kernel(main_ref, head_ref, tail_ref, o_ref, *, radius: int,
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
-def ct_blur_int_pallas(x, radius: int, tile_h: int = 128):
+def ct_blur_int_pallas(x, radius: int, tile_h: int = 256):
     """Fused comptime-path integer BoxBlur.  x: (N, H, W) uint8/uint16."""
     n, h, w = x.shape
     r = radius
