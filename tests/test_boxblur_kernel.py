@@ -42,3 +42,46 @@ def test_kernel_matches_jnp_interpret(shape, radius, dtype, monkeypatch):
     got = np.asarray(kp.ct_blur_int_pallas(x, radius))
     want = np.asarray(_ct_blur_int(x, radius))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize(
+    "shape,radius,dtype",
+    [
+        ((2, 48, 160), 5, np.uint16),
+        ((1, 40, 136), 7, np.uint8),
+        ((1, 33, 130), 1, np.uint16),
+    ],
+    ids=str,
+)
+def test_rt_kernels_match_jnp_interpret(shape, radius, dtype, monkeypatch):
+    import jax
+    import jax.experimental.pallas as plmod
+    import jax.numpy as jnp
+
+    from vszip_tpu.kernels import boxblur_pallas as kp
+    from vszip_tpu.ops.boxblur import _fixed_point_output, _window_sums_i32
+
+    orig = plmod.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(kp.pl, "pallas_call", interp_call)
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(
+        rng.integers(0, np.iinfo(dtype).max + 1, shape, dtype=dtype)
+    )
+
+    def ref(v, axis):
+        w = _window_sums_i32(v, radius, axis)
+        w0 = jax.lax.slice_in_dim(w, 0, 1, axis=axis)
+        return _fixed_point_output(w, w0, radius, v.dtype)
+
+    np.testing.assert_array_equal(
+        np.asarray(kp.rt_blur_v_pallas(x, radius)), np.asarray(ref(x, 1))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(kp.rt_blur_h_pallas(x, radius)), np.asarray(ref(x, 2))
+    )

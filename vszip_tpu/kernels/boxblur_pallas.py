@@ -272,3 +272,183 @@ def ct_blur_int_pallas(x, radius: int, tile_h: int = 256):
             (1, th, w), lambda i, j: (i, j, zero), memory_space=pltpu.VMEM
         ),
     )(x, x, x)
+
+
+# ---------------------------------------------------------------------------
+# runtime path (any radius <= 22 per pass, duplicate-edge mirror)
+# ---------------------------------------------------------------------------
+
+def _sym_weights(g, v, lo_keep, hi_keep, radius: int, hgt: int):
+    """Duplicate-edge symmetric-mirror window weights in global row coords
+    (the runtime path's mirror, reference src/filters/boxblur_runtime.zig:
+    ``m(-j) = j-1``, ``m(n-1+j) = n-j``): a tap k < 0 reads row -k-1 and a
+    tap k >= hgt reads row 2*hgt-1-k.  Weights in {0,1,2,3}."""
+    r = radius
+    # the band clips at the real rows; taps past either edge re-enter below
+    # as reflections
+    w = ((v >= g - r) & (v <= g + r) & (v <= jnp.int32(hgt - 1))).astype(
+        jnp.int32)
+    # top reflection: taps k in [g-r, -1] read rows 0..r-g-1
+    w = w + ((v >= 0) & (v <= jnp.int32(r) - g - 1)).astype(jnp.int32)
+    # bottom reflection: taps k in [hgt, g+r] read rows 2*hgt-1-g-r..hgt-1
+    w = w + (
+        (v >= jnp.int32(2 * hgt - 1) - g - r) & (v <= jnp.int32(hgt - 1))
+    ).astype(jnp.int32)
+    keep = (v >= lo_keep) & (v < hi_keep)
+    return jnp.where(keep, w, jnp.int32(0)).astype(jnp.bfloat16)
+
+
+def _rt_v_kernel(main_ref, head_ref, tail_ref, aux_ref, o_ref, *, radius: int,
+                 hgt: int, th: int, rblk: int, qmax: int, inv2: int,
+                 wide: bool):
+    r = radius
+    i0 = pl.program_id(1) * jnp.int32(th)
+    head_off = jnp.maximum(i0 - jnp.int32(rblk), jnp.int32(0))
+    tail_off = jnp.minimum(i0 + jnp.int32(th), jnp.int32(qmax * rblk))
+    big = jnp.int32(2 ** 30)
+    w0 = aux_ref[0, 0:1, :]
+    c0h = aux_ref[0, 1:2, :]
+    c0l = aux_ref[0, 2:3, :]
+    sh = 64
+    main = main_ref[0]
+    for st in range(th // sh):
+        gs = jax.lax.broadcasted_iota(jnp.int32, (sh, 1), 0) + (
+            i0 + jnp.int32(st * sh))
+        lo_row = st * sh - rblk
+        hi_row = st * sh + sh + rblk
+        segs = []
+        if lo_row < 0:
+            segs.append((head_ref[0], rblk, head_off, -big, i0))
+        mlo, mhi = max(lo_row, 0), min(hi_row, th)
+        segs.append((
+            jax.lax.slice(main, (mlo, 0), (mhi, main.shape[1])),
+            mhi - mlo, i0 + jnp.int32(mlo), i0, i0 + th,
+        ))
+        if hi_row > th:
+            segs.append((tail_ref[0], rblk, tail_off, i0 + th, big))
+        bs = []
+        for src, ln, off, lo_keep, hi_keep in segs:
+            v = jax.lax.broadcasted_iota(jnp.int32, (sh, ln), 1) + off
+            bs.append((_sym_weights(gs, v, lo_keep, hi_keep, r, hgt),
+                       src.astype(jnp.int32)))
+        if wide:
+            lo = sum(_mm16(b, (s & 255).astype(jnp.bfloat16)) for b, s in bs)
+            hi = sum(_mm16(b, (s >> 8).astype(jnp.bfloat16)) for b, s in bs)
+            wv = (hi.astype(jnp.int32) << 8) + lo.astype(jnp.int32)
+        else:
+            wv = sum(
+                _mm16(b, s.astype(jnp.bfloat16)) for b, s in bs
+            ).astype(jnp.int32)
+        out = _fixed_out(wv - w0, c0h, c0l, inv2)
+        o_ref[0, st * sh : (st + 1) * sh, :] = out.astype(o_ref.dtype)
+
+
+def _rt_h_kernel(x_ref, o_ref, *, radius: int, th: int, inv: int, inv2: int):
+    # the runtime H mirror (symmetric duplicate-edge) produces exactly the
+    # comptime kernel's horizontal formulas: interior windows from the lane
+    # prefix sum, edge lanes via exchange-matrix reversal
+    r = radius
+    tmp = x_ref[0].astype(jnp.int32)
+    w = tmp.shape[-1]
+    cs = _lane_cumsum_i32(tmp)
+    col = jax.lax.broadcasted_iota(jnp.int32, cs.shape, 1)
+    a = pltpu.roll(cs, jnp.int32(w - r), 1)
+    b = jnp.where(col >= r + 1, pltpu.roll(cs, jnp.int32(r + 1), 1),
+                  jnp.int32(0))
+    wh = a - b
+    w0 = cs[:, r : r + 1] + cs[:, r - 1 : r]
+    c0h, c0l = _c0_u32(w0, inv)
+    o_ref[0] = _fixed_out(wh - w0, c0h, c0l, inv2).astype(o_ref.dtype)
+    wh_l = cs[:, r : 2 * r] + _rev_lanes(cs[:, 0:r], r)
+    o_ref[0, :, 0:r] = _fixed_out(wh_l - w0, c0h, c0l, inv2).astype(
+        o_ref.dtype)
+    cl = cs[:, w - 1 : w]
+    wh_r = (2 * cl - cs[:, w - 2 * r - 1 : w - r - 1]
+            - _rev_lanes(cs[:, w - 1 - r : w - 1], r))
+    o_ref[0, :, w - r : w] = _fixed_out(wh_r - w0, c0h, c0l, inv2).astype(
+        o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def rt_blur_v_pallas(x, radius: int, tile_h: int = 256):
+    """One runtime-path vertical pass (duplicate-edge mirror), bit-exact to
+    the jnp running-sum formulation.  x: (N, H, W) uint8/uint16."""
+    n, h, w = x.shape
+    r = radius
+    ksize = 2 * r + 1
+    inv = ((1 << 32) + r) // ksize
+    inv2 = inv >> 16
+    lo = 64
+    hi = max(int(tile_h) & ~63, lo)
+    th = min(range(lo, hi + 1, 64), key=lambda t: (-(h // -t) * t - h, -t))
+    rblk = 32 if r <= 32 else 64
+    if h < rblk:
+        x = jnp.concatenate([x, jnp.zeros((n, rblk - h, w), x.dtype)], axis=1)
+    hs = x.shape[1]
+    qmax = (hs - 1) // rblk
+    num_blocks = pl.cdiv(h, th)
+
+    # per-column W(0) and its fixed-point constant, computed once on the
+    # top r+1 rows (every grid block needs them, but only block 0 sees
+    # those rows)
+    top = x[:, : r + 1, :].astype(jnp.int32)
+    w0 = (jnp.sum(top[:, :r, :], axis=1, dtype=jnp.int32)
+          + jnp.sum(top, axis=1, dtype=jnp.int32))
+    c0 = (w0.astype(jnp.int64) * inv + (1 << 31)) >> 16
+    aux = jnp.stack(
+        [w0, (c0 >> 16).astype(jnp.int32), (c0 & 0xFFFF).astype(jnp.int32)]
+        + [jnp.zeros_like(w0)] * 5, axis=1,
+    )  # (N, 8, W) i32
+
+    kern = functools.partial(
+        _rt_v_kernel, radius=r, hgt=h, th=th, rblk=rblk, qmax=qmax,
+        inv2=inv2, wide=(x.dtype.itemsize == 2),
+    )
+    zero = np.int32(0)
+    q = np.int32(th // rblk)
+    qmx = np.int32(qmax)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n, h, w), x.dtype),
+        grid=(n, num_blocks),
+        in_specs=[
+            pl.BlockSpec((1, th, w), lambda i, j: (i, j, zero),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rblk, w),
+                         lambda i, j: (i, jnp.maximum(j * q - np.int32(1), zero), zero),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rblk, w),
+                         lambda i, j: (i, jnp.minimum((j + np.int32(1)) * q, qmx), zero),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, w), lambda i, j: (i, zero, zero),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, th, w), lambda i, j: (i, j, zero),
+                               memory_space=pltpu.VMEM),
+    )(x, x, x, aux)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def rt_blur_h_pallas(x, radius: int, tile_h: int = 256):
+    """One runtime-path horizontal pass (duplicate-edge mirror), bit-exact
+    to the jnp running-sum formulation.  x: (N, H, W) uint8/uint16."""
+    n, h, w = x.shape
+    r = radius
+    ksize = 2 * r + 1
+    inv = ((1 << 32) + r) // ksize
+    inv2 = inv >> 16
+    lo = 64
+    hi = max(int(tile_h) & ~63, lo)
+    th = min(range(lo, hi + 1, 64), key=lambda t: (-(h // -t) * t - h, -t))
+    num_blocks = pl.cdiv(h, th)
+    kern = functools.partial(_rt_h_kernel, radius=r, th=th, inv=inv, inv2=inv2)
+    zero = np.int32(0)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n, h, w), x.dtype),
+        grid=(n, num_blocks),
+        in_specs=[pl.BlockSpec((1, th, w), lambda i, j: (i, j, zero),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, th, w), lambda i, j: (i, j, zero),
+                               memory_space=pltpu.VMEM),
+    )(x)

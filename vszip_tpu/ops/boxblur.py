@@ -142,6 +142,11 @@ def _fixed_point_output(w, w0, radius: int, dtype):
 def _blur_int_rt_1d(x, radius: int, axis: int):
     """One integer running-sum pass, bit-exact, i32 hot path."""
     n = x.shape[axis]
+    if radius <= 22 and x.ndim == 3 and axis in (1, 2) and _on_tpu():
+        from ..kernels.boxblur_pallas import rt_blur_h_pallas, rt_blur_v_pallas
+
+        fn = rt_blur_v_pallas if axis == 1 else rt_blur_h_pallas
+        return fn(x, radius)
     if (n + 2 * radius) * int(np.iinfo(x.dtype).max) < 2**31:
         w = _window_sums_i32(x, radius, axis)
     else:  # giant planes: prefix sums overflow i32; fall back to i64
