@@ -1,6 +1,11 @@
-"""Fused Pallas TPU kernel for the BoxBlur comptime path (integer formats).
+"""Fused Pallas TPU kernels for BoxBlur (integer formats).
 
-Computes the reference's comptime BoxBlur (src/filters/boxblur_comptime.zig:
+Two families: the comptime path (single pass, hr == vr, reflect-101 top +
+bottom-quirk mirrors) fuses both axes into one kernel; the runtime path
+(multi-pass / asymmetric radii, symmetric duplicate-edge mirror) gets one
+kernel per 1-D pass, sharing the same machinery.
+
+The comptime kernel computes the reference's comptime BoxBlur (src/filters/boxblur_comptime.zig:
 V raw column sums quantized at ``(col*inv + 2^31) >> 32``, then the H
 fixed-point running pass) in ONE pass over HBM, with no padded input copy:
 each grid step reads its TH-row tile plus two slim neighbor views (clamped
