@@ -19,7 +19,7 @@ sys.path.insert(0, __file__.rsplit("/", 1)[0])
 BASELINE_FPS = 1046.11  # reference README.md:43-44
 
 
-def bench_boxblur(batch: int = 32, iters: int = 100, depth: int = 50,
+def bench_boxblur(batch: int = 64, iters: int = 100, depth: int = 50,
                   warmup: int = 2) -> float:
     import jax
     import vszip_tpu as vz

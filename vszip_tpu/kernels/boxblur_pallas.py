@@ -29,10 +29,9 @@ Key derivations that make this a pure-i32/u32 kernel (no 64-bit):
   for every odd ksize <= 45 (proof in ops/boxblur.py), evaluated exactly in
   f32 with a floor + correction step.
 * horizontal pass: ``out(x) = (C0 + inv2*(Wh(x)-Wh(0))) >> 16`` with
-  ``C0 = (Wh(0)*inv + 2^31) >> 16``; Wh from an in-VMEM lane prefix sum
-  (log-step rolls), the 38-bit product split into i32-safe limbs, and C0
-  evaluated in u32 limbs; the first/last r lanes get mirror corrections via
-  exchange-matrix lane reversal.
+  ``C0 = (Wh(0)*inv + 2^31) >> 16``; Wh via near-diagonal MXU strip matmuls
+  whose weights encode both lane mirrors (see ``_h_window_matmul``), the
+  38-bit product split into i32-safe limbs, and C0 evaluated in u32 limbs.
 """
 
 from __future__ import annotations
@@ -46,16 +45,64 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _lane_cumsum_i32(x):
-    """Prefix sum along the last (lane) dim via log-step rolls."""
-    n = x.shape[-1]
-    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
-    s = 1
-    while s < n:
-        shifted = pltpu.roll(x, jnp.int32(s), x.ndim - 1)
-        x = x + jnp.where(col >= s, shifted, jnp.int32(0))
-        s *= 2
-    return x
+def _h_window_matmul(tmp, radius: int, narrow: bool):
+    """Horizontal window sums ``Wh(x)`` with the reference running-pass edge
+    formulas, as near-diagonal MXU strip matmuls (the lane analogue of the
+    vertical band matmuls — replaces a log-step lane prefix sum, which is
+    cross-lane-shuffle-bound on the VPU).
+
+    Per 128-lane output strip, only the aligned input strips covering
+    ``[c0-r, c1+r)`` are contracted.  Weight entries derive from the exact
+    prefix-sum identities of the reference pass (boxblur_runtime.zig /
+    boxblur_comptime.zig horizontal sweeps):
+
+    * interior ``x in [r, W-1-r]``: ``[x-r <= v <= x+r]``
+    * left ``x < r``:   ``[v <= x+r] + [v <= r-1-x]``  (duplicate-edge mirror)
+    * right ``x >= W-r``: ``[v >= x-r] + [v >= 2W-1-x-r]``
+
+    tmp: (th, W) i32 in [0, 2^16); exact because the hi/lo byte planes are
+    bf16-exact and every partial sum stays < 2^24.
+    """
+    r = radius
+    th, w = tmp.shape
+    lo = (tmp & jnp.int32(255)).astype(jnp.bfloat16)
+    hi = None if narrow else (tmp >> 8).astype(jnp.bfloat16)
+    outs = []
+    for c0 in range(0, w, 128):
+        c1 = min(c0 + 128, w)
+        a0 = max((c0 - r) // 128 * 128, 0)
+        a1 = min(-((c1 + r) // -128) * 128, w)
+        v = jax.lax.broadcasted_iota(jnp.int32, (a1 - a0, c1 - c0), 0) + a0
+        x = jax.lax.broadcasted_iota(jnp.int32, (a1 - a0, c1 - c0), 1) + c0
+        interior = ((v >= x - r) & (v <= x + r)).astype(jnp.int32)
+        left = (v <= x + r).astype(jnp.int32) + (v <= r - 1 - x).astype(
+            jnp.int32)
+        right = (v >= x - r).astype(jnp.int32) + (
+            v >= jnp.int32(2 * w - 1 - r) - x
+        ).astype(jnp.int32)
+        wgt = jnp.where(x < r, left,
+                        jnp.where(x >= jnp.int32(w - r), right, interior))
+        b = wgt.astype(jnp.bfloat16)
+        slo = jax.lax.slice(lo, (0, a0), (th, a1))
+        acc = _mm16(slo, b).astype(jnp.int32)
+        if hi is not None:
+            shi = jax.lax.slice(hi, (0, a0), (th, a1))
+            acc = acc + (_mm16(shi, b).astype(jnp.int32) << 8)
+        outs.append(acc)
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+
+
+def _pick_tile(h: int, tile_h: int) -> int:
+    """Block height: a multiple of 64 (so the slim 32/64-row neighbor views
+    divide it and sublane tiling holds for u8/u16).  Measured on v5e, block
+    COUNT dominates (per-block DMA/launch overhead), so minimize the number
+    of grid blocks first, then the out-of-range rows in the last block."""
+    lo = 64
+    hi = max(int(tile_h) & ~63, lo)
+    return min(
+        range(lo, hi + 1, 64),
+        key=lambda t: (-(h // -t), -(h // -t) * t - h, -t),
+    )
 
 
 def _quantize_div(col, ksize: int):
@@ -91,14 +138,6 @@ def _fixed_out(d, c0h, c0l, inv2: int):
     return c0h + (a >> 7) + ((c0l + ((a & np.int32(127)) << 9) + b) >> 16)
 
 
-def _mm(a, b):
-    return jax.lax.dot_general(
-        a, b, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )
-
-
 def _mm16(a, b):
     """bf16 x bf16 -> f32 matmul (native MXU path; exact for integer inputs
     <= 255 with few enough terms that the f32 accumulator never rounds)."""
@@ -106,17 +145,6 @@ def _mm16(a, b):
         a, b, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-
-
-def _rev_lanes(x, r: int):
-    """reverse the r lanes of (th, r) i32 (values < 2^27) via an exchange
-    matmul, exact through a hi/lo split (each product has one term < 2^24)."""
-    rows = jax.lax.broadcasted_iota(jnp.int32, (r, r), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (r, r), 1)
-    ex = (rows + cols == r - 1).astype(jnp.float32)
-    hi = (x >> 12).astype(jnp.float32)
-    lo = (x & jnp.int32(4095)).astype(jnp.float32)
-    return (_mm(hi, ex).astype(jnp.int32) << 12) + _mm(lo, ex).astype(jnp.int32)
 
 
 def _band_weights(g, v, lo_keep, hi_keep, radius: int, hgt: int):
@@ -191,32 +219,11 @@ def _ct_int_kernel(main_ref, head_ref, tail_ref, o_ref, *, radius: int,
         strips.append(_quantize_div(wv, ksize))
     tmp = strips[0] if len(strips) == 1 else jnp.concatenate(strips, axis=0)
 
-    # ---- horizontal fixed-point pass on tmp (TH, W) ----
-    w = tmp.shape[-1]
-    cs = _lane_cumsum_i32(tmp)
-    col = jax.lax.broadcasted_iota(jnp.int32, cs.shape, 1)
-    # interior window sums: cs[x+r] - cs[x-r-1]
-    a = pltpu.roll(cs, jnp.int32(w - r), 1)  # cyclic left-shift by r
-    b = jnp.where(col >= r + 1, pltpu.roll(cs, jnp.int32(r + 1), 1), jnp.int32(0))
-    wh = a - b
-    w0 = cs[:, r : r + 1] + cs[:, r - 1 : r]
+    # ---- horizontal fixed-point pass on tmp (TH, W): strip matmuls ----
+    wh = _h_window_matmul(tmp, r, narrow=not wide)
+    w0 = wh[:, 0:1]
     c0h, c0l = _c0_u32(w0, inv)
-    out = _fixed_out(wh - w0, c0h, c0l, inv2)
-    o_ref[0] = out.astype(o_ref.dtype)
-    # left edge lanes x < r: Wh = cs[x+r] + cs[r-x-1] — the second term is
-    # the reversed head of cs; both edges become one (TH, r) store each
-    wh_l = cs[:, r : 2 * r] + _rev_lanes(cs[:, 0:r], r)
-    o_ref[0, :, 0:r] = _fixed_out(wh_l - w0, c0h, c0l, inv2).astype(o_ref.dtype)
-    # right edge lanes x in [W-r, W-1]:
-    # Wh = 2*cs[W-1] - cs[x-r-1] - cs[2W-2-x-r]
-    cl = cs[:, w - 1 : w]
-    wh_r = (
-        2 * cl - cs[:, w - 2 * r - 1 : w - r - 1]
-        - _rev_lanes(cs[:, w - 1 - r : w - 1], r)
-    )
-    o_ref[0, :, w - r : w] = _fixed_out(wh_r - w0, c0h, c0l, inv2).astype(
-        o_ref.dtype
-    )
+    o_ref[0] = _fixed_out(wh - w0, c0h, c0l, inv2).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
@@ -227,15 +234,7 @@ def ct_blur_int_pallas(x, radius: int, tile_h: int = 256):
     ksize = 2 * r + 1
     inv = ((1 << 32) + r) // ksize
     inv2 = inv >> 16
-    # TH: multiple of 64 (so the slim 32/64-row neighbor views divide it and
-    # sublane tiling holds for u8/u16); among candidates up to tile_h pick
-    # the one wasting the fewest out-of-range rows in the last block
-    lo = 64
-    hi = max(int(tile_h) & ~63, lo)
-    th = min(
-        range(lo, hi + 1, 64),
-        key=lambda t: (-(h // -t) * t - h, -t),
-    )
+    th = _pick_tile(h, tile_h)
     rblk = 32 if 2 * r <= 32 else 64  # slim neighbor-view height (divides th)
     if h < rblk:
         # tiny planes: make the clamped views well-defined (cheap copy)
@@ -348,30 +347,16 @@ def _rt_v_kernel(main_ref, head_ref, tail_ref, aux_ref, o_ref, *, radius: int,
         o_ref[0, st * sh : (st + 1) * sh, :] = out.astype(o_ref.dtype)
 
 
-def _rt_h_kernel(x_ref, o_ref, *, radius: int, th: int, inv: int, inv2: int):
+def _rt_h_kernel(x_ref, o_ref, *, radius: int, th: int, inv: int, inv2: int,
+                 wide: bool):
     # the runtime H mirror (symmetric duplicate-edge) produces exactly the
-    # comptime kernel's horizontal formulas: interior windows from the lane
-    # prefix sum, edge lanes via exchange-matrix reversal
+    # comptime kernel's horizontal prefix-sum formulas — same strip matmuls
     r = radius
     tmp = x_ref[0].astype(jnp.int32)
-    w = tmp.shape[-1]
-    cs = _lane_cumsum_i32(tmp)
-    col = jax.lax.broadcasted_iota(jnp.int32, cs.shape, 1)
-    a = pltpu.roll(cs, jnp.int32(w - r), 1)
-    b = jnp.where(col >= r + 1, pltpu.roll(cs, jnp.int32(r + 1), 1),
-                  jnp.int32(0))
-    wh = a - b
-    w0 = cs[:, r : r + 1] + cs[:, r - 1 : r]
+    wh = _h_window_matmul(tmp, r, narrow=not wide)
+    w0 = wh[:, 0:1]
     c0h, c0l = _c0_u32(w0, inv)
     o_ref[0] = _fixed_out(wh - w0, c0h, c0l, inv2).astype(o_ref.dtype)
-    wh_l = cs[:, r : 2 * r] + _rev_lanes(cs[:, 0:r], r)
-    o_ref[0, :, 0:r] = _fixed_out(wh_l - w0, c0h, c0l, inv2).astype(
-        o_ref.dtype)
-    cl = cs[:, w - 1 : w]
-    wh_r = (2 * cl - cs[:, w - 2 * r - 1 : w - r - 1]
-            - _rev_lanes(cs[:, w - 1 - r : w - 1], r))
-    o_ref[0, :, w - r : w] = _fixed_out(wh_r - w0, c0h, c0l, inv2).astype(
-        o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
@@ -383,9 +368,7 @@ def rt_blur_v_pallas(x, radius: int, tile_h: int = 256):
     ksize = 2 * r + 1
     inv = ((1 << 32) + r) // ksize
     inv2 = inv >> 16
-    lo = 64
-    hi = max(int(tile_h) & ~63, lo)
-    th = min(range(lo, hi + 1, 64), key=lambda t: (-(h // -t) * t - h, -t))
+    th = _pick_tile(h, tile_h)
     rblk = 32 if r <= 32 else 64
     if h < rblk:
         x = jnp.concatenate([x, jnp.zeros((n, rblk - h, w), x.dtype)], axis=1)
@@ -442,11 +425,10 @@ def rt_blur_h_pallas(x, radius: int, tile_h: int = 256):
     ksize = 2 * r + 1
     inv = ((1 << 32) + r) // ksize
     inv2 = inv >> 16
-    lo = 64
-    hi = max(int(tile_h) & ~63, lo)
-    th = min(range(lo, hi + 1, 64), key=lambda t: (-(h // -t) * t - h, -t))
+    th = _pick_tile(h, tile_h)
     num_blocks = pl.cdiv(h, th)
-    kern = functools.partial(_rt_h_kernel, radius=r, th=th, inv=inv, inv2=inv2)
+    kern = functools.partial(_rt_h_kernel, radius=r, th=th, inv=inv, inv2=inv2,
+                             wide=(x.dtype.itemsize == 2))
     zero = np.int32(0)
     return pl.pallas_call(
         kern,
