@@ -45,44 +45,67 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _h_window_matmul(tmp, radius: int, narrow: bool):
-    """Horizontal window sums ``Wh(x)`` with the reference running-pass edge
-    formulas, as near-diagonal MXU strip matmuls (the lane analogue of the
-    vertical band matmuls — replaces a log-step lane prefix sum, which is
-    cross-lane-shuffle-bound on the VPU).
+def _h_strip_layout(w: int, radius: int):
+    """Static per-strip layout for the horizontal window matmuls: for each
+    128-lane output strip, the aligned input row range [a0, a1) it contracts
+    and its row offset into the concatenated host weight operand."""
+    r = radius
+    layout = []
+    ro = 0
+    for c0 in range(0, w, 128):
+        c1 = min(c0 + 128, w)
+        a0 = max((c0 - r) // 128 * 128, 0)
+        a1 = min(-((c1 + r) // -128) * 128, w)
+        layout.append((c0, c1, a0, a1, ro))
+        ro += a1 - a0
+    return layout, ro
 
-    Per 128-lane output strip, only the aligned input strips covering
-    ``[c0-r, c1+r)`` are contracted.  Weight entries derive from the exact
-    prefix-sum identities of the reference pass (boxblur_runtime.zig /
-    boxblur_comptime.zig horizontal sweeps):
+
+def _h_weights_host(w: int, radius: int) -> np.ndarray:
+    """Host-precomputed horizontal band weights, concatenated per strip into
+    one (total_rows, 128) f32 operand (cast to bf16 at trace time).  Weight
+    entries derive from the exact prefix-sum identities of the reference
+    pass (boxblur_runtime.zig / boxblur_comptime.zig horizontal sweeps):
 
     * interior ``x in [r, W-1-r]``: ``[x-r <= v <= x+r]``
     * left ``x < r``:   ``[v <= x+r] + [v <= r-1-x]``  (duplicate-edge mirror)
     * right ``x >= W-r``: ``[v >= x-r] + [v >= 2W-1-x-r]``
 
+    Building these on the host removes ~7M VPU ops per grid block that the
+    kernel used to spend on iota-compare weight construction.
+    """
+    r = radius
+    layout, total = _h_strip_layout(w, radius)
+    out = np.zeros((total, 128), np.float32)
+    for c0, c1, a0, a1, ro in layout:
+        v = np.arange(a0, a1)[:, None]
+        x = np.arange(c0, c0 + 128)[None, :]
+        interior = ((v >= x - r) & (v <= x + r)).astype(np.int32)
+        left = (v <= x + r).astype(np.int32) + (v <= r - 1 - x).astype(
+            np.int32)
+        right = (v >= x - r).astype(np.int32) + (v >= 2 * w - 1 - r - x
+                                                 ).astype(np.int32)
+        wgt = np.where(x < r, left, np.where(x >= w - r, right, interior))
+        out[ro : ro + (a1 - a0)] = wgt.astype(np.float32)
+    return out
+
+
+def _h_window_matmul(tmp, radius: int, narrow: bool, hw):
+    """Horizontal window sums ``Wh(x)``: near-diagonal MXU strip matmuls
+    against the host-precomputed band weights `hw` (see ``_h_weights_host``;
+    the lane analogue of the vertical band matmuls — replaces a log-step
+    lane prefix sum, which is cross-lane-shuffle-bound on the VPU).
+
     tmp: (th, W) i32 in [0, 2^16); exact because the hi/lo byte planes are
     bf16-exact and every partial sum stays < 2^24.
     """
-    r = radius
     th, w = tmp.shape
     lo = (tmp & jnp.int32(255)).astype(jnp.bfloat16)
     hi = None if narrow else (tmp >> 8).astype(jnp.bfloat16)
+    layout, _ = _h_strip_layout(w, radius)
     outs = []
-    for c0 in range(0, w, 128):
-        c1 = min(c0 + 128, w)
-        a0 = max((c0 - r) // 128 * 128, 0)
-        a1 = min(-((c1 + r) // -128) * 128, w)
-        v = jax.lax.broadcasted_iota(jnp.int32, (a1 - a0, c1 - c0), 0) + a0
-        x = jax.lax.broadcasted_iota(jnp.int32, (a1 - a0, c1 - c0), 1) + c0
-        interior = ((v >= x - r) & (v <= x + r)).astype(jnp.int32)
-        left = (v <= x + r).astype(jnp.int32) + (v <= r - 1 - x).astype(
-            jnp.int32)
-        right = (v >= x - r).astype(jnp.int32) + (
-            v >= jnp.int32(2 * w - 1 - r) - x
-        ).astype(jnp.int32)
-        wgt = jnp.where(x < r, left,
-                        jnp.where(x >= jnp.int32(w - r), right, interior))
-        b = wgt.astype(jnp.bfloat16)
+    for c0, c1, a0, a1, ro in layout:
+        b = jax.lax.slice(hw, (ro, 0), (ro + (a1 - a0), c1 - c0))
         slo = jax.lax.slice(lo, (0, a0), (th, a1))
         acc = _mm16(slo, b).astype(jnp.int32)
         if hi is not None:
@@ -147,6 +170,24 @@ def _mm16(a, b):
     )
 
 
+def _split16(a, wide: bool):
+    """One-time cast of an integer slab to its bf16 byte planes (hi is None
+    for u8).  Hoisted out of the strip loops: casting per-strip re-converted
+    every halo row twice and dominated the VPU budget."""
+    ai = a.astype(jnp.int32)
+    if wide:
+        return (ai & jnp.int32(255)).astype(jnp.bfloat16), (
+            ai >> 8).astype(jnp.bfloat16)
+    return ai.astype(jnp.bfloat16), None
+
+
+@functools.lru_cache(maxsize=64)
+def _h_weights_dev(w: int, radius: int) -> np.ndarray:
+    # host bf16 ndarray (ml_dtypes), safe to cache across traces; values are
+    # small integers so the f32 -> bf16 cast is exact
+    return _h_weights_host(w, radius).astype(jnp.bfloat16)
+
+
 def _band_weights(g, v, lo_keep, hi_keep, radius: int, hgt: int):
     """Vertical window weight matrix in global row coordinates.
 
@@ -167,9 +208,9 @@ def _band_weights(g, v, lo_keep, hi_keep, radius: int, hgt: int):
     return jnp.where(keep, wgt, jnp.int32(0)).astype(jnp.bfloat16)
 
 
-def _ct_int_kernel(main_ref, head_ref, tail_ref, o_ref, *, radius: int,
-                   hgt: int, th: int, rblk: int, qmax: int, inv: int,
-                   inv2: int, wide: bool):
+def _ct_int_kernel(main_ref, head_ref, tail_ref, hw_ref, o_ref, *,
+                   radius: int, hgt: int, th: int, rblk: int, qmax: int,
+                   inv: int, inv2: int, wide: bool):
     r = radius
     ksize = 2 * r + 1
     # all scalar index math in explicit i32 (x64 mode would promote Python
@@ -186,41 +227,47 @@ def _ct_int_kernel(main_ref, head_ref, tail_ref, o_ref, *, radius: int,
     tail_off = jnp.minimum(i0 + jnp.int32(th), jnp.int32(qmax * rblk))
     big = jnp.int32(2 ** 30)
     sh = 64  # strip height (th is a multiple of 64)
-    main = main_ref[0]
+    w = main_ref.shape[-1]
+    main_lo, main_hi = _split16(main_ref[0], wide)
+    head_lo, head_hi = _split16(head_ref[0], wide)
+    tail_lo, tail_hi = _split16(tail_ref[0], wide)
+    # strip halo, rounded to the bf16 sublane tile (16): smaller contraction
+    # for r <= 16 cuts the band-matmul FLOPs by 25%
+    hpad = min(-(r // -16) * 16, rblk)
     strips = []
     for st in range(th // sh):
         gs = jax.lax.broadcasted_iota(jnp.int32, (sh, 1), 0) + (
             i0 + jnp.int32(st * sh))
-        lo_row = st * sh - rblk
-        hi_row = st * sh + sh + rblk
+        lo_row = st * sh - hpad
+        hi_row = st * sh + sh + hpad
         segs = []
         if lo_row < 0:
-            segs.append((head_ref[0], rblk, head_off, -big, i0))
+            segs.append((head_lo, head_hi, rblk, head_off, -big, i0))
         mlo, mhi = max(lo_row, 0), min(hi_row, th)
         segs.append((
-            jax.lax.slice(main, (mlo, 0), (mhi, main.shape[1])),
+            jax.lax.slice(main_lo, (mlo, 0), (mhi, w)),
+            None if main_hi is None else jax.lax.slice(
+                main_hi, (mlo, 0), (mhi, w)),
             mhi - mlo, i0 + jnp.int32(mlo), i0, i0 + th,
         ))
         if hi_row > th:
-            segs.append((tail_ref[0], rblk, tail_off, i0 + th, big))
+            segs.append((tail_lo, tail_hi, rblk, tail_off, i0 + th, big))
         bs = []
-        for src, ln, off, lo_keep, hi_keep in segs:
+        for slo, shi, ln, off, lo_keep, hi_keep in segs:
             v = jax.lax.broadcasted_iota(jnp.int32, (sh, ln), 1) + off
             bs.append((_band_weights(gs, v, lo_keep, hi_keep, r, hgt),
-                       src.astype(jnp.int32)))
+                       slo, shi))
         if wide:
-            lo = sum(_mm16(b, (s & 255).astype(jnp.bfloat16)) for b, s in bs)
-            hi = sum(_mm16(b, (s >> 8).astype(jnp.bfloat16)) for b, s in bs)
+            lo = sum(_mm16(b, s) for b, s, _ in bs)
+            hi = sum(_mm16(b, s) for b, _, s in bs)
             wv = (hi.astype(jnp.int32) << 8) + lo.astype(jnp.int32)
         else:
-            wv = sum(
-                _mm16(b, s.astype(jnp.bfloat16)) for b, s in bs
-            ).astype(jnp.int32)
+            wv = sum(_mm16(b, s) for b, s, _ in bs).astype(jnp.int32)
         strips.append(_quantize_div(wv, ksize))
     tmp = strips[0] if len(strips) == 1 else jnp.concatenate(strips, axis=0)
 
     # ---- horizontal fixed-point pass on tmp (TH, W): strip matmuls ----
-    wh = _h_window_matmul(tmp, r, narrow=not wide)
+    wh = _h_window_matmul(tmp, r, narrow=not wide, hw=hw_ref[...])
     w0 = wh[:, 0:1]
     c0h, c0l = _c0_u32(w0, inv)
     o_ref[0] = _fixed_out(wh - w0, c0h, c0l, inv2).astype(o_ref.dtype)
@@ -254,6 +301,7 @@ def ct_blur_int_pallas(x, radius: int, tile_h: int = 256):
     zero = np.int32(0)  # a Python-int 0 would trace as i64 under x64
     q = np.int32(th // rblk)
     qmx = np.int32(qmax)
+    hw = _h_weights_dev(w, r)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((n, h, w), x.dtype),
@@ -271,11 +319,13 @@ def ct_blur_int_pallas(x, radius: int, tile_h: int = 256):
                 lambda i, j: (i, jnp.minimum((j + np.int32(1)) * q, qmx), zero),
                 memory_space=pltpu.VMEM,
             ),
+            pl.BlockSpec(hw.shape, lambda i, j: (zero, zero),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, th, w), lambda i, j: (i, j, zero), memory_space=pltpu.VMEM
         ),
-    )(x, x, x)
+    )(x, x, x, hw)
 
 
 # ---------------------------------------------------------------------------
@@ -314,49 +364,57 @@ def _rt_v_kernel(main_ref, head_ref, tail_ref, aux_ref, o_ref, *, radius: int,
     c0h = aux_ref[0, 1:2, :]
     c0l = aux_ref[0, 2:3, :]
     sh = 64
-    main = main_ref[0]
+    w = main_ref.shape[-1]
+    main_lo, main_hi = _split16(main_ref[0], wide)
+    head_lo, head_hi = _split16(head_ref[0], wide)
+    tail_lo, tail_hi = _split16(tail_ref[0], wide)
+    hpad = min(-(r // -16) * 16, rblk)
     for st in range(th // sh):
         gs = jax.lax.broadcasted_iota(jnp.int32, (sh, 1), 0) + (
             i0 + jnp.int32(st * sh))
-        lo_row = st * sh - rblk
-        hi_row = st * sh + sh + rblk
+        lo_row = st * sh - hpad
+        hi_row = st * sh + sh + hpad
         segs = []
         if lo_row < 0:
-            segs.append((head_ref[0], rblk, head_off, -big, i0))
+            segs.append((head_lo, head_hi, rblk, head_off, -big, i0))
         mlo, mhi = max(lo_row, 0), min(hi_row, th)
         segs.append((
-            jax.lax.slice(main, (mlo, 0), (mhi, main.shape[1])),
+            jax.lax.slice(main_lo, (mlo, 0), (mhi, w)),
+            None if main_hi is None else jax.lax.slice(
+                main_hi, (mlo, 0), (mhi, w)),
             mhi - mlo, i0 + jnp.int32(mlo), i0, i0 + th,
         ))
         if hi_row > th:
-            segs.append((tail_ref[0], rblk, tail_off, i0 + th, big))
+            segs.append((tail_lo, tail_hi, rblk, tail_off, i0 + th, big))
         bs = []
-        for src, ln, off, lo_keep, hi_keep in segs:
+        for slo, shi, ln, off, lo_keep, hi_keep in segs:
             v = jax.lax.broadcasted_iota(jnp.int32, (sh, ln), 1) + off
             bs.append((_sym_weights(gs, v, lo_keep, hi_keep, r, hgt),
-                       src.astype(jnp.int32)))
+                       slo, shi))
         if wide:
-            lo = sum(_mm16(b, (s & 255).astype(jnp.bfloat16)) for b, s in bs)
-            hi = sum(_mm16(b, (s >> 8).astype(jnp.bfloat16)) for b, s in bs)
+            lo = sum(_mm16(b, s) for b, s, _ in bs)
+            hi = sum(_mm16(b, s) for b, _, s in bs)
             wv = (hi.astype(jnp.int32) << 8) + lo.astype(jnp.int32)
         else:
-            wv = sum(
-                _mm16(b, s.astype(jnp.bfloat16)) for b, s in bs
-            ).astype(jnp.int32)
+            wv = sum(_mm16(b, s) for b, s, _ in bs).astype(jnp.int32)
         out = _fixed_out(wv - w0, c0h, c0l, inv2)
         o_ref[0, st * sh : (st + 1) * sh, :] = out.astype(o_ref.dtype)
 
 
-def _rt_h_kernel(x_ref, o_ref, *, radius: int, th: int, inv: int, inv2: int,
-                 wide: bool):
+def _rt_h_kernel(x_ref, hw_ref, o_ref, *, radius: int, th: int, inv: int,
+                 inv2: int, wide: bool, passes: int = 1):
     # the runtime H mirror (symmetric duplicate-edge) produces exactly the
-    # comptime kernel's horizontal prefix-sum formulas — same strip matmuls
+    # comptime kernel's horizontal prefix-sum formulas — same strip matmuls.
+    # Rows are independent, so EVERY pass of a multi-pass blur runs on the
+    # VMEM-resident tile: one HBM round trip total instead of one per pass.
     r = radius
     tmp = x_ref[0].astype(jnp.int32)
-    wh = _h_window_matmul(tmp, r, narrow=not wide)
-    w0 = wh[:, 0:1]
-    c0h, c0l = _c0_u32(w0, inv)
-    o_ref[0] = _fixed_out(wh - w0, c0h, c0l, inv2).astype(o_ref.dtype)
+    for _ in range(passes):
+        wh = _h_window_matmul(tmp, r, narrow=not wide, hw=hw_ref[...])
+        w0 = wh[:, 0:1]
+        c0h, c0l = _c0_u32(w0, inv)
+        tmp = _fixed_out(wh - w0, c0h, c0l, inv2)
+    o_ref[0] = tmp.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
@@ -416,10 +474,11 @@ def rt_blur_v_pallas(x, radius: int, tile_h: int = 256):
     )(x, x, x, aux)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def rt_blur_h_pallas(x, radius: int, tile_h: int = 256):
-    """One runtime-path horizontal pass (duplicate-edge mirror), bit-exact
-    to the jnp running-sum formulation.  x: (N, H, W) uint8/uint16."""
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def rt_blur_h_pallas(x, radius: int, tile_h: int = 256, passes: int = 1):
+    """Runtime-path horizontal pass(es) (duplicate-edge mirror), bit-exact
+    to the jnp running-sum formulation.  All `passes` iterations run inside
+    one kernel (rows need no halo).  x: (N, H, W) uint8/uint16."""
     n, h, w = x.shape
     r = radius
     ksize = 2 * r + 1
@@ -428,14 +487,17 @@ def rt_blur_h_pallas(x, radius: int, tile_h: int = 256):
     th = _pick_tile(h, tile_h)
     num_blocks = pl.cdiv(h, th)
     kern = functools.partial(_rt_h_kernel, radius=r, th=th, inv=inv, inv2=inv2,
-                             wide=(x.dtype.itemsize == 2))
+                             wide=(x.dtype.itemsize == 2), passes=passes)
     zero = np.int32(0)
+    hw = _h_weights_dev(w, r)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((n, h, w), x.dtype),
         grid=(n, num_blocks),
         in_specs=[pl.BlockSpec((1, th, w), lambda i, j: (i, j, zero),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(hw.shape, lambda i, j: (zero, zero),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, th, w), lambda i, j: (i, j, zero),
                                memory_space=pltpu.VMEM),
-    )(x)
+    )(x, hw)

@@ -179,9 +179,17 @@ def _blur_float_rt_1d(x, radius: int, axis: int):
 def _rt_blur(x, hradius: int, hpasses: int, vradius: int, vpasses: int,
              is_int: bool):
     blur1d = _blur_int_rt_1d if is_int else _blur_float_rt_1d
-    if hradius > 0:
-        for _ in range(max(hpasses, 0)):
-            x = blur1d(x, hradius, axis=2)
+    if hradius > 0 and hpasses > 0:
+        if (is_int and hpasses > 1 and hradius <= 22 and x.ndim == 3
+                and _on_tpu()):
+            # all H passes fused into one kernel (rows need no halo):
+            # one HBM round trip instead of one per pass
+            from ..kernels.boxblur_pallas import rt_blur_h_pallas
+
+            x = rt_blur_h_pallas(x, hradius, 256, hpasses)
+        else:
+            for _ in range(hpasses):
+                x = blur1d(x, hradius, axis=2)
     if vradius > 0:
         for _ in range(max(vpasses, 0)):
             x = blur1d(x, vradius, axis=1)
