@@ -19,9 +19,9 @@ sys.path.insert(0, __file__.rsplit("/", 1)[0])
 BASELINE_FPS = 1046.11  # reference README.md:43-44
 
 
-def bench_boxblur(batch: int = 64, iters: int = 100, depth: int = 50,
-                  warmup: int = 2) -> float:
+def bench_boxblur(batch: int = 64, iters: int = 150, warmup: int = 2) -> float:
     import jax
+    import jax.numpy as jnp
     import vszip_tpu as vz
     from vszip_tpu.ops.boxblur import boxblur
 
@@ -39,28 +39,33 @@ def bench_boxblur(batch: int = 64, iters: int = 100, depth: int = 50,
 
     jstep = jax.jit(step)
 
-    def sync(c):
-        # On the axon relay backend block_until_ready can return before
-        # execution completes; a 1-element readback is the reliable fence.
-        return np.asarray(c.planes[0][0, 0, 0])
+    # On the axon relay backend block_until_ready is a no-op (returns before
+    # execution completes); the only reliable fence is a host transfer.  A
+    # transfer that touches a full plane costs ~30 ms regardless of size, so
+    # reduce to one element first and calibrate the constant away.
+    @jax.jit
+    def probe(c):
+        return c.planes[0][0, 0, 0].astype(jnp.int32)
 
-    # warmup / compile
+    def sync(c):
+        return np.asarray(probe(c))
+
     for _ in range(warmup):
         sync(jstep(clip))
 
-    # chain on the output to serialize real work; fence every `depth`
-    # dispatches — deep enough to amortize the readback RTT, shallow enough
-    # that queued output buffers stay under HBM capacity
+    # calibrated fence cost (no work queued)
+    t0 = time.perf_counter()
+    sync(clip)
+    fence = time.perf_counter() - t0
+
+    # chain on the output to serialize real work; single fence at the end
     t0 = time.perf_counter()
     out = clip
-    n = 0
-    while n < iters:
-        for _ in range(depth):
-            out = jstep(out)
-            n += 1
-        sync(out)
-    dt = time.perf_counter() - t0
-    return batch * n / dt
+    for _ in range(iters):
+        out = jstep(out)
+    sync(out)
+    dt = time.perf_counter() - t0 - fence
+    return batch * iters / dt
 
 
 def main():

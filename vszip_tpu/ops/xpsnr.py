@@ -18,8 +18,9 @@ block weights.  Chroma SSE reuses the luma block weights.  Outputs are the
 frame props XPSNR_Y/U/V plus clip-level averages (the reference prints the
 same aggregate to stdout when the filter is freed).
 
-TPU mapping: activity/SSE maps are computed full-plane and reduced with
-zero-padded block reshapes (all sums are exact integers carried in f64);
+TPU mapping: activity/SSE maps are computed full-plane in i32 and reduced
+with zero-padded block reshapes (two-stage: i32 within-block rows, then f64
+over the block-level partials — sums stay exact integers end to end);
 the temporal terms use zero-filled frame shifts of the batch axis, which
 reproduces the missing-frame semantics; the small-frame smoothing is a
 `lax.fori_loop` over the (tiny) block raster, vmapped over frames.
@@ -42,12 +43,21 @@ FILTER_NAME = "XPSNR"
 GAMMA = 2
 
 
-def _block_sum(m, b: int):
+def _block_sum(m, b: int, by: int | None = None):
+    """Exact per-block sums of a non-negative i32 map as f64, without any
+    full-resolution f64 math (emulated f64 vector ops dominated the filter
+    on TPU): stage 1 sums the `by` rows of each block in i32 (safe: every
+    map value is < 2^28/by), stage 2 widens the by-fold-smaller partials to
+    f64.  Values stay exact integers throughout, matching the reference's
+    u64 accumulation."""
+    if by is None:
+        by = b
     n, h, w = m.shape
-    hb, wb = -h % b, -w % b
+    hb, wb = -h % by, -w % b
     mp = jnp.pad(m, ((0, 0), (0, hb), (0, wb)))
-    nb_h, nb_w = (h + hb) // b, (w + wb) // b
-    return mp.reshape(n, nb_h, b, nb_w, b).sum(axis=(2, 4))
+    nb_h, nb_w = (h + hb) // by, (w + wb) // b
+    s1 = mp.reshape(n, nb_h, by, nb_w, b).sum(axis=2, dtype=jnp.int32)
+    return s1.astype(jnp.float64).sum(axis=3)
 
 
 def _lap_map(x):
@@ -175,7 +185,7 @@ def _xpsnr_frame_stats(org, rec, depth: int, frame_rate: int,
 
     # --- luma block SSE ---
     diff = org[0].astype(jnp.int32) - rec[0].astype(jnp.int32)
-    sse_blk = _block_sum((diff * diff).astype(jnp.float64), b)
+    sse_blk = _block_sum(diff * diff, b)
 
     # --- spatial activity ---
     ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
@@ -184,7 +194,7 @@ def _xpsnr_frame_stats(org, rec, depth: int, frame_rate: int,
         (xs >= b_val) & (xs < w - b_val) & (ys >= b_val) & (ys < h - b_val)
     )[None]
     sa_map = _highds_map(org[0]) if b_val == 2 else _lap_map(org[0])
-    sa_blk = _block_sum(jnp.where(active, sa_map, 0).astype(jnp.float64), b)
+    sa_blk = _block_sum(jnp.where(active, sa_map, 0), b)
 
     # per-block active-extent denominators
     bx0 = np.arange(nb_w) * b
@@ -218,7 +228,7 @@ def _xpsnr_frame_stats(org, rec, depth: int, frame_rate: int,
         else:
             ta_map = _cell2_sums(org[0], p1, p2, 1) if b_val == 2 else \
                 _tempdiff_map(org[0], p1, p2, 1)
-        ta_blk = _block_sum(ta_map.astype(jnp.float64), b) * GAMMA
+        ta_blk = _block_sum(ta_map, b) * GAMMA
         bw_ext = (wax - bx0).astype(np.float64)
         bh_ext = (way - by0).astype(np.float64)
         denom_ta = jnp.asarray(bh_ext[:, None] * bw_ext[None, :])
@@ -245,13 +255,7 @@ def _xpsnr_frame_stats(org, rec, depth: int, frame_rate: int,
         bx = (b * widths[c]) // w
         by = (b * heights[c]) // h
         # chroma blocks may be rectangular (bx != by for 422/440)
-        nch, hc, wc = dc.shape
-        hpad, wpad = -hc % by, -wc % bx
-        d2 = jnp.pad((dc * dc).astype(jnp.float64),
-                     ((0, 0), (0, hpad), (0, wpad)))
-        blk = d2.reshape(nch, (hc + hpad) // by, by, (wc + wpad) // bx, bx).sum(
-            axis=(2, 4)
-        )
+        blk = _block_sum(dc * dc, bx, by)
         s = jnp.sum(blk * weights, axis=(1, 2))
         wsse.append(jnp.where(s <= 0.0, 0.0, jnp.trunc(s * avg_act + 0.5)))
 
