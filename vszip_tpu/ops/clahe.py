@@ -96,14 +96,10 @@ def _clahe_plane(x, limit: int, tiles_x: int, tiles_y: int, bits: int):
             ((0, 0), (thh, hp - thh - height), (twh, wp - twh - width)),
         )
         cells = xp2.reshape(n, ry_n, tile_h, rx_n, tile_w)
-        lutg = lut.reshape(n, tiles_y, tiles_x, hist_size).astype(jnp.float32)
         ty1r = np.clip(np.arange(ry_n) - 1, 0, tiles_y - 1)
         ty2r = np.minimum(np.arange(ry_n), tiles_y - 1)
         tx1r = np.clip(np.arange(rx_n) - 1, 0, tiles_x - 1)
         tx2r = np.minimum(np.arange(rx_n), tiles_x - 1)
-
-        def sel(tyr, txr):  # (n, RY, RX, B) table per cell
-            return lutg[:, tyr][:, :, txr]
 
         # blend fractions on the padded grid (pad rows are sliced away, and
         # in clamped cells both tiles agree so the fraction is irrelevant);
@@ -118,23 +114,32 @@ def _clahe_plane(x, limit: int, tiles_x: int, tiles_y: int, bits: int):
         xa_p = jnp.asarray(
             (txf - np.floor(txf)).astype(np.float32).reshape(1, 1, 1, rx_n, tile_w)
         )
-        # bins live on the second-minor (sublane) axis so the pixel lanes
-        # (tw) never relayout; per-cell tables are tiny (B floats).  All 4
-        # neighbor tables go through ONE compare-select reduce — with a
-        # single consumer the (..., B, ...) broadcast compare stays virtual
-        # inside the fusion (4 separate picks made XLA materialize it)
-        bins = jnp.arange(hist_size, dtype=jnp.int32)[:, None]
-        eqv = cells[None, :, :, :, :, None, :] == bins  # (1,n,RY,th,RX,B,tw)
-        tabs = jnp.stack(
-            [sel(ty1r, tx1r), sel(ty1r, tx2r), sel(ty2r, tx1r), sel(ty2r, tx2r)]
-        )  # (4, n, RY, RX, B)
-        picks = jnp.sum(
-            jnp.where(
-                eqv, tabs[:, :, :, None, :, :, None], jnp.float32(0.0)
-            ),
-            axis=-2,
-        )  # (4, n, RY, th, RX, tw)
-        l0, l1, l2, l3 = picks[0], picks[1], picks[2], picks[3]
+        # per-pixel 4-table lookup via a scalar select-chain: the four
+        # neighbor LUTs (values <= 255) pack into one i32 per bin, so the
+        # chain is 256 compares + 256 selects of per-cell broadcasts — a
+        # single fused elementwise kernel with no (..., B, ...) operand for
+        # XLA to materialize (the broadcast compare-reduce it replaces ran
+        # out of HBM at production batch sizes)
+        luti = lut.reshape(n, tiles_y, tiles_x, hist_size)
+
+        def seli(tyr, txr):  # (n, RY, RX, B) i32 table per cell
+            return luti[:, tyr][:, :, txr]
+
+        tab32 = (
+            seli(ty1r, tx1r)
+            | (seli(ty1r, tx2r) << 8)
+            | (seli(ty2r, tx1r) << 16)
+            | (seli(ty2r, tx2r) << 24)
+        )  # (n, RY, RX, B)
+        acc = jnp.broadcast_to(
+            tab32[:, :, None, :, None, 0], cells.shape
+        )
+        for i in range(1, hist_size):
+            acc = jnp.where(cells == i, tab32[:, :, None, :, None, i], acc)
+        l0 = (acc & 255).astype(jnp.float32)
+        l1 = ((acc >> 8) & 255).astype(jnp.float32)
+        l2 = ((acc >> 16) & 255).astype(jnp.float32)
+        l3 = ((acc >> 24) & 255).astype(jnp.float32)
         res = (l0 * (1 - xa_p) + l1 * xa_p) * (1 - ya_p) + (
             l2 * (1 - xa_p) + l3 * xa_p
         ) * ya_p

@@ -54,17 +54,22 @@ def _lut(color: int) -> tuple:
 
 @partial(jax.jit, static_argnums=(1,))
 def _apply(x, color: int):
-    # compare-select instead of per-pixel gathers (pathological on TPU):
-    # one fused reduce over the 256 bins yields all three channels; bins sit
-    # on the sublane axis so the pixel lanes never relayout
-    luts = jnp.asarray(np.stack(_lut(color)), jnp.uint8)  # (3, 256)
-    bins = jnp.arange(256, dtype=jnp.int32)[:, None]
-    eqv = x.astype(jnp.int32)[None, :, :, None, :] == bins  # (1,N,H,B,W)
-    picked = jnp.sum(
-        jnp.where(eqv, luts[:, None, None, :, None], jnp.uint8(0)),
-        axis=-2, dtype=jnp.uint8,
-    )  # (3, N, H, W)
-    return picked[0], picked[1], picked[2]
+    # per-pixel LUT via a scalar select-chain instead of gathers (serialized
+    # on TPU) or a broadcast compare-reduce (whose (N,H,256,W) operand XLA
+    # materializes in HBM at production batch sizes).  The three channel
+    # LUTs pack into one i32 constant per bin, so the chain is 256 compares
+    # + 256 selects per pixel, fully fused as one elementwise kernel.
+    r, g, b = _lut(color)
+    packed = (r.astype(np.int32) | (g.astype(np.int32) << 8)
+              | (b.astype(np.int32) << 16))
+    v = x.astype(jnp.int32)
+    acc = jnp.full_like(v, np.int32(packed[0]))
+    for i in range(1, 256):
+        acc = jnp.where(v == i, np.int32(packed[i]), acc)
+    ru = (acc & 255).astype(jnp.uint8)
+    gu = ((acc >> 8) & 255).astype(jnp.uint8)
+    bu = ((acc >> 16) & 255).astype(jnp.uint8)
+    return ru, gu, bu
 
 
 def colormap(clip: Clip, color: int = 20) -> Clip:
