@@ -239,8 +239,12 @@ def _dp(tcosts, bmask, gamma: float, hp: bool):
 
     def back(carry, piT):
         f = carry  # (B, L) i32
-        idx = (mdis_center + f)[:, :, None]
-        delta = jnp.take_along_axis(piT.astype(jnp.int32), idx, axis=2)[:, :, 0]
+        idx = mdis_center + f
+        # per-pixel tpitch lookup as a select chain (gathers serialize)
+        piTi = piT.astype(jnp.int32)
+        delta = piTi[:, :, 0]
+        for t in range(1, tpitch):
+            delta = jnp.where(idx == t, piTi[:, :, t], delta)
         f2 = f + delta
         return f2, f2
 
@@ -255,50 +259,92 @@ def _dp(tcosts, bmask, gamma: float, hp: bool):
     return fpath
 
 
-def _gather_dir(row, base_off, dir_idx):
-    """row (B, L, wp) padded; value at padded pos PAD + x + dir (per pixel)."""
-    w = row.shape[-1] - 2 * PAD
-    xs = jax.lax.broadcasted_iota(jnp.int32, dir_idx.shape, dir_idx.ndim - 1)
-    idx = jnp.clip(PAD + xs + dir_idx, 0, row.shape[-1] - 1)
-    return jnp.take_along_axis(row, idx, axis=-1)
+def _select_multi(fpath, fmin: int, fmax: int, taps):
+    """Directional lookups without per-pixel gathers (serialized on TPU):
+    for each candidate direction value fv the needed positions are STATIC
+    lane slices of the padded rows, chained with selects on ``fpath == fv``
+    (one shared compare per fv).  `taps` is a list of (row, off_fn) with
+    ``off_fn(fv)`` the data-column offset; returns one array per tap giving
+    the value at padded position ``PAD + x + off_fn(fpath[pixel])``.
+
+    Slice offsets beyond the mirror pad are clamped; that only affects
+    lanes whose guarded four-tap branch is unused (the reference never
+    evaluates those positions — src/filters/eedi3.zig interpLine guards
+    with ``x >= 3*|d|``)."""
+    w = taps[0][0].shape[-1] - 2 * PAD
+    maxoff = max(
+        abs(off_fn(fv)) for _, off_fn in taps for fv in (fmin, fmax)
+    )
+    ext = max(0, maxoff - PAD)
+    rows = {}
+
+    def slice_at(row, off):
+        r = rows.get(id(row))
+        if r is None:
+            r = (jnp.pad(row, ((0, 0),) * (row.ndim - 1) + ((ext, ext),),
+                         mode="edge") if ext else row)
+            rows[id(row)] = r
+        return jax.lax.slice_in_dim(
+            r, ext + PAD + off, ext + PAD + off + w, axis=row.ndim - 1)
+
+    accs = [slice_at(r, off_fn(fmin)) for r, off_fn in taps]
+    for fv in range(fmin + 1, fmax + 1):
+        m = fpath == fv
+        accs = [
+            jnp.where(m, slice_at(r, off_fn(fv)), acc)
+            for (r, off_fn), acc in zip(taps, accs)
+        ]
+    return accs
 
 
-def _output_nonhp(r3p, r1p, r1n, r3n, fpath, w):
+def _output_nonhp(r3p, r1p, r1n, r3n, fpath, w, mdis: int):
     d = fpath
     ad = jnp.abs(d)
     xs = jax.lax.broadcasted_iota(jnp.int32, d.shape, d.ndim - 1)
-    four_tap = (
-        jnp.float32(0.5625) * (_gather_dir(r1p, 0, d) + _gather_dir(r1n, 0, -d))
-        - jnp.float32(0.0625) * (_gather_dir(r3p, 0, 3 * d) + _gather_dir(r3n, 0, -3 * d))
+    g1p, g1n, g3p, g3n = _select_multi(
+        d, -mdis, mdis,
+        [(r1p, lambda f: f), (r1n, lambda f: -f),
+         (r3p, lambda f: 3 * f), (r3n, lambda f: -3 * f)],
     )
-    two_tap = (_gather_dir(r1p, 0, d) + _gather_dir(r1n, 0, -d)) * jnp.float32(0.5)
+    four_tap = (jnp.float32(0.5625) * (g1p + g1n)
+                - jnp.float32(0.0625) * (g3p + g3n))
+    two_tap = (g1p + g1n) * jnp.float32(0.5)
     ok = (xs >= ad * 3) & (xs + ad * 3 <= w - 1)
     return jnp.where(ok, four_tap, two_tap)
 
 
-def _output_hp(r3p, r1p, r1n, r3n, fpath, w, bmask):
+def _output_hp(r3p, r1p, r1n, r3n, fpath, w, bmask, mdis: int):
     d = fpath
     xs = jax.lax.broadcasted_iota(jnp.int32, d.shape, d.ndim - 1)
     even = (d & 1) == 0
     d2 = d >> 1
     ad_e = jnp.abs(d2)
-    four_e = (
-        jnp.float32(0.5625) * (_gather_dir(r1p, 0, d2) + _gather_dir(r1n, 0, -d2))
-        - jnp.float32(0.0625) * (_gather_dir(r3p, 0, 3 * d2) + _gather_dir(r3n, 0, -3 * d2))
-    )
-    two_e = (_gather_dir(r1p, 0, d2) + _gather_dir(r1n, 0, -d2)) * jnp.float32(0.5)
+    # half-pel fpath spans [-2*mdis, 2*mdis]; all derived offsets become
+    # static per candidate value (Python int arithmetic mirrors the
+    # reference's shift expressions exactly, including negative >> 1)
+    taps = [
+        (r1p, lambda f: f >> 1), (r1n, lambda f: -(f >> 1)),
+        (r3p, lambda f: (3 * f) >> 1), (r3n, lambda f: -((3 * f) >> 1)),
+        (r3p, lambda f: (3 * f + 1) >> 1),
+        (r1p, lambda f: (f + 1) >> 1),
+        (r1n, lambda f: -((f + 1) >> 1)),
+        (r3n, lambda f: -((3 * f + 1) >> 1)),
+    ]
+    (g1p_e, g1n_e, g3p_e, g3n_e, g3p_o, g1p_o, g1n_o, g3n_o) = _select_multi(
+        d, -2 * mdis, 2 * mdis, taps)
+    four_e = (jnp.float32(0.5625) * (g1p_e + g1n_e)
+              - jnp.float32(0.0625) * (g3p_e + g3n_e))
+    two_e = (g1p_e + g1n_e) * jnp.float32(0.5)
     ok_e = (xs >= ad_e * 3) & (xs + ad_e * 3 <= w - 1)
     out_e = jnp.where(ok_e, four_e, two_e)
 
-    d20 = d >> 1
-    d21 = (d + 1) >> 1
     d30 = (3 * d) >> 1
     d31 = (3 * d + 1) >> 1
     ad_o = jnp.maximum(jnp.abs(d30), jnp.abs(d31))
-    c0 = _gather_dir(r3p, 0, d30) + _gather_dir(r3p, 0, d31)
-    c1 = _gather_dir(r1p, 0, d20) + _gather_dir(r1p, 0, d21)
-    c2 = _gather_dir(r1n, 0, -d20) + _gather_dir(r1n, 0, -d21)
-    c3 = _gather_dir(r3n, 0, -d30) + _gather_dir(r3n, 0, -d31)
+    c0 = g3p_e + g3p_o
+    c1 = g1p_e + g1p_o
+    c2 = g1n_e + g1n_o
+    c3 = g3n_e + g3n_o
     four_o = jnp.float32(0.28125) * (c1 + c2) - jnp.float32(0.03125) * (c0 + c3)
     two_o = (c1 + c2) * jnp.float32(0.25)
     ok_o = (xs >= ad_o) & (xs + ad_o <= w - 1)
@@ -351,9 +397,9 @@ def _interp_all(rows4, mask, scp_dummy, params, hp: bool, w: int, use_mask: bool
                           one_minus_ab)
     fpath = _dp(tc, bm, gamma, hp)
     if hp:
-        out = _output_hp(r3p, r1p, r1n, r3n, fpath, w, bm)
+        out = _output_hp(r3p, r1p, r1n, r3n, fpath, w, bm, mdis)
     else:
-        out = _output_nonhp(r3p, r1p, r1n, r3n, fpath, w)
+        out = _output_nonhp(r3p, r1p, r1n, r3n, fpath, w, mdis)
         if bm is not None:
             # all-inactive lines fall back to vertical 4-tap with dmap 0;
             # handled per pixel by fpath==0 two/four tap?  The reference
