@@ -55,29 +55,62 @@ def _dense_kernel(m0_ref, t0_ref, m1_ref, t1_ref, o_ref, *, rh: int, rv: int,
     cen = jax.lax.slice(slab, (rv, rh), (rv + th, rh + w))
     cen_ref = (jax.lax.slice(rslab, (rv, rh), (rv + th, rh + w))
                if has_ref else cen)
-    ndx = 2 * rh - 1
 
-    def body(k, carry):
-        s, sw = carry
-        dy = jnp.int32(1) + k // jnp.int32(ndx)
-        dx = jnp.int32(1) + k % jnp.int32(ndx)
-        v = _shifted(slab, dy, dx, nslab, wp, th, w)
-        vr = (_shifted(rslab, dy, dx, nslab, wp, th, w) if has_ref else v)
+    # Incremental constant-shift rolls: the row loop advances the slab one
+    # sublane per dy, the column loop advances a (th, wp) view one lane per
+    # dx, and each tap is then a static corner slice.  Equivalent data
+    # movement to per-tap slices, but loop-based — a fully unrolled
+    # static-slice form sent Mosaic's compile time to minutes.  Accumulation
+    # order matches the reference's (dy, dx) row-major order, so f32 sums
+    # stay bit-identical.
+    zeros = jnp.zeros((th, w), jnp.float32)
+
+    def dx_body(dx, c2):
+        if has_ref:
+            s, sw, cs, crs = c2
+        else:
+            s, sw, cs = c2
+        cs = pltpu.roll(cs, jnp.int32(wp - 1), 1)
+        if has_ref:
+            crs = pltpu.roll(crs, jnp.int32(wp - 1), 1)
+        v = jax.lax.slice(cs, (0, 0), (th, w))
+        vr = jax.lax.slice(crs, (0, 0), (th, w)) if has_ref else v
         wgt = jnp.maximum(
             jnp.minimum(jnp.float32(m) - jnp.abs(vr - cen_ref),
                         jnp.float32(wmax)), 0.0)
-        return s + (v - cen) * wgt, sw + wgt
+        s = s + (v - cen) * wgt
+        sw = sw + wgt
+        return (s, sw, cs, crs) if has_ref else (s, sw, cs)
 
-    zeros = jnp.zeros((th, w), jnp.float32)
-    s, sw = jax.lax.fori_loop(
-        jnp.int32(0), jnp.int32((2 * rv - 1) * ndx), body, (zeros, zeros))
+    def dy_body(dy, carry):
+        if has_ref:
+            s, sw, rs, rrs = carry
+        else:
+            s, sw, rs = carry
+        rs = pltpu.roll(rs, jnp.int32(nslab - 1), 0)
+        if has_ref:
+            rrs = pltpu.roll(rrs, jnp.int32(nslab - 1), 0)
+        cs = jax.lax.slice(rs, (0, 0), (th, wp))
+        if has_ref:
+            crs = jax.lax.slice(rrs, (0, 0), (th, wp))
+            inner = (s, sw, cs, crs)
+        else:
+            inner = (s, sw, cs)
+        inner = jax.lax.fori_loop(jnp.int32(1), jnp.int32(2 * rh), dx_body,
+                                  inner)
+        s, sw = inner[0], inner[1]
+        return (s, sw, rs, rrs) if has_ref else (s, sw, rs)
+
+    init = (zeros, zeros, slab, rslab) if has_ref else (zeros, zeros, slab)
+    res = jax.lax.fori_loop(jnp.int32(1), jnp.int32(2 * rv), dy_body, init)
+    s, sw = res[0], res[1]
     _store(o_ref, cen + s / jnp.maximum(sw, jnp.float32(swmin)), peak, is_int)
 
 
 def _subspl_kernel(m0_ref, t0_ref, m1_ref, t1_ref, lid_ref, dyx_ref, o_ref, *,
                    nbr: int, k: int, rh: int, rv: int, m: float, wmax: float,
                    swmin: float, peak: float, is_int: bool, has_ref: bool,
-                   th: int, w: int):
+                   th: int, w: int, pts=None):
     halo = min((2 * rv + 7) & ~7, _TAIL)  # 8-aligned for sublane rolls
     slab = jnp.concatenate([m0_ref[0], t0_ref[0, :halo, :]], axis=0)
     rslab = (jnp.concatenate([m1_ref[0], t1_ref[0, :halo, :]], axis=0)
@@ -87,6 +120,35 @@ def _subspl_kernel(m0_ref, t0_ref, m1_ref, t1_ref, lid_ref, dyx_ref, o_ref, *,
     cen_ref = (jax.lax.slice(rslab, (rv, rh), (rv + th, rh + w))
                if has_ref else cen)
     lid = lid_ref[0]
+
+    if pts is not None:
+        # offsets are host constants: every (list, tap) view is a STATIC
+        # slice of the slab, chained with selects on the per-pixel list id
+        # (the roll form moved the whole slab twice per (list, tap) pair)
+        s = sw = jnp.zeros((th, w), jnp.float32)
+        for j in range(k):
+            v = vr = None
+            for t in range(nbr):
+                dy, dx = pts[t][j]
+                sl = jax.lax.slice(
+                    slab, (dy + rv, dx + rh), (dy + rv + th, dx + rh + w))
+                sel = lid == t
+                v = sl if v is None else jnp.where(sel, sl, v)
+                if has_ref:
+                    rsl = jax.lax.slice(
+                        rslab, (dy + rv, dx + rh),
+                        (dy + rv + th, dx + rh + w))
+                    vr = rsl if vr is None else jnp.where(sel, rsl, vr)
+            if not has_ref:
+                vr = v
+            wgt = jnp.maximum(
+                jnp.minimum(jnp.float32(m) - jnp.abs(vr - cen_ref),
+                            jnp.float32(wmax)), 0.0)
+            s = s + (v - cen) * wgt
+            sw = sw + wgt
+        _store(o_ref, cen + s / jnp.maximum(sw, jnp.float32(swmin)), peak,
+               is_int)
+        return
 
     def tap(j, carry):
         s, sw = carry
@@ -179,13 +241,17 @@ def dense_blur_pallas(xpad, rpad_or_none, rh: int, rv: int, m: float,
         in_specs=[main, tail, main, tail],
         out_specs=pl.BlockSpec((1, th, w), lambda i, j: (i, j, zero),
                                memory_space=pltpu.VMEM),
+        # the unrolled static dx slices keep 2rh-1 tap views live per row
+        # pass; raise Mosaic's default 16M scoped-vmem cap (v5e has 128M)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(xpad, xpad, rsrc, rsrc)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12))
 def subspl_blur_pallas(xpad, rpad_or_none, list_plane, dyx, rh: int, rv: int,
                        m: float, wmax: float, swmin: float, peak: float,
-                       is_int: bool, out_dtype):
+                       is_int: bool, out_dtype, static_pts=None):
     """Sub-sampled path: per-pixel tap addresses come from one of NBR
     precomputed point lists (reference bilateral_dither_subspl.zig); each
     tap is a select over the lists instead of a flat gather.
@@ -196,9 +262,18 @@ def subspl_blur_pallas(xpad, rpad_or_none, list_plane, dyx, rh: int, rv: int,
     xpad, rp, h, nb = _padded(xpad, rpad_or_none, rv, th)
     w = wp_ - 2 * rh
     _, nbr, k = dyx.shape
+    # static offsets allow the fully-unrolled static-slice form; cap the
+    # unroll so giant configurations keep the bounded roll loop
+    # Mosaic compile time grows superlinearly with the unroll size; beyond
+    # a few hundred (list, tap) pairs the bounded roll loop wins on wall
+    # clock even though it moves more data per tap
+    pts = None
+    if static_pts is not None and nbr * k <= 400:
+        pts = static_pts
     kern = functools.partial(
         _subspl_kernel, nbr=nbr, k=k, rh=rh, rv=rv, m=m, wmax=wmax,
         swmin=swmin, peak=peak, is_int=is_int, has_ref=has_ref, th=th, w=w,
+        pts=pts,
     )
     main, tail = _specs(th, xpad.shape[2], xpad.shape[1])
     zero = np.int32(0)
@@ -214,4 +289,9 @@ def subspl_blur_pallas(xpad, rpad_or_none, list_plane, dyx, rh: int, rv: int,
         in_specs=[main, tail, main, tail, lid, tab],
         out_specs=pl.BlockSpec((1, th, w), lambda i, j: (i, j, zero),
                                memory_space=pltpu.VMEM),
+        # the static-slice unroll keeps many small tap views live at once;
+        # Mosaic's default 16M scoped-vmem cap is far below the physical
+        # VMEM, so raise it for this kernel
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(xpad, xpad, rsrc, rsrc, list_plane, dyx)

@@ -229,11 +229,15 @@ def bilateral_dither(clip: Clip, ref: Clip | None = None, radius=None,
 
                 dyx = jnp.asarray(
                     np.stack([pts[:, :, 0], pts[:, :, 1]]).astype(np.int32))
+                spts = tuple(
+                    tuple((int(p[0]), int(p[1])) for p in lst) for lst in pts
+                )
                 out.append(subspl_blur_pallas(
                     _pad_cache(x, r, r),
                     None if rp is None else _pad_cache(rp, r, r),
                     jnp.asarray(_list_ids(pw, ph)[None]),
                     dyx, r, r, m, wmax, swmin, peak, is_int, x.dtype,
+                    static_pts=spts,
                 ))
                 continue
             tap_idx = jnp.asarray(_tap_indices(pw, ph, r, r, pts, k))
