@@ -33,6 +33,15 @@ def _paeth(a, b, c):
 
 
 def _unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    from ..runtime.png_native import unfilter as native_unfilter
+
+    res = native_unfilter(raw, h, stride, bpp)
+    if res is not None:
+        return res
+    return _unfilter_py(raw, h, stride, bpp)
+
+
+def _unfilter_py(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
     out = np.zeros((h, stride), np.uint8)
     pos = 0
     prev = np.zeros(stride, np.int32)

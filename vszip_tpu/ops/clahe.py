@@ -131,6 +131,28 @@ def _clahe_plane(x, limit: int, tiles_x: int, tiles_y: int, bits: int):
             | (seli(ty2r, tx1r) << 16)
             | (seli(ty2r, tx2r) << 24)
         )  # (n, RY, RX, B)
+
+        from .boxblur import _on_tpu
+
+        if (_on_tpu() and x.dtype == jnp.uint8 and tile_h % 8 == 0
+                and wp % 128 == 0):
+            # Pallas kernel: the whole select chain + blend runs on the
+            # VMEM-resident band (the XLA chain below splits into many
+            # kernels that each re-read the padded plane)
+            from ..kernels.clahe_pallas import clahe8_lookup_pallas
+
+            xp8 = jnp.pad(
+                x, ((0, 0), (thh, hp - thh - height), (twh, wp - twh - width))
+            )
+            ya2 = (tyf - np.floor(tyf)).astype(np.float32).reshape(
+                ry_n, tile_h)
+            xa2 = (txf - np.floor(txf)).astype(np.float32).reshape(1, wp)
+            res8 = clahe8_lookup_pallas(
+                xp8, tab32.reshape(n, ry_n, rx_n * hist_size),
+                jnp.asarray(ya2), jnp.asarray(xa2), tile_h, tile_w,
+            )
+            return res8[:, thh : thh + height, twh : twh + width]
+
         acc = jnp.broadcast_to(
             tab32[:, :, None, :, None, 0], cells.shape
         )
