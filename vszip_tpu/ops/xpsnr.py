@@ -183,18 +183,30 @@ def _xpsnr_frame_stats(org, rec, depth: int, frame_rate: int,
     b_val = 2 if wh > 2048 * 1152 else 1
     nb_w, nb_h = -(-w // b), -(-h // b)
 
-    # --- luma block SSE ---
-    diff = org[0].astype(jnp.int32) - rec[0].astype(jnp.int32)
-    sse_blk = _block_sum(diff * diff, b)
+    from .boxblur import _on_tpu
 
-    # --- spatial activity ---
-    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    active = (
-        (xs >= b_val) & (xs < w - b_val) & (ys >= b_val) & (ys < h - b_val)
-    )[None]
-    sa_map = _highds_map(org[0]) if b_val == 2 else _lap_map(org[0])
-    sa_blk = _block_sum(jnp.where(active, sa_map, 0), b)
+    order = 2 if frame_rate >= 32 else 1
+    use_kernel = _on_tpu() and b == 64 and b_val == 1
+    if use_kernel:
+        # fused Pallas path: maps + exact block sums in one pass per band
+        from ..kernels.xpsnr_pallas import luma_stats_pallas
+
+        sse_blk, sa_blk, ta_k = luma_stats_pallas(
+            org[0], rec[0], order, temporal, nb_w)
+    else:
+        # --- luma block SSE ---
+        diff = org[0].astype(jnp.int32) - rec[0].astype(jnp.int32)
+        sse_blk = _block_sum(diff * diff, b)
+
+        # --- spatial activity ---
+        ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        active = (
+            (xs >= b_val) & (xs < w - b_val) & (ys >= b_val)
+            & (ys < h - b_val)
+        )[None]
+        sa_map = _highds_map(org[0]) if b_val == 2 else _lap_map(org[0])
+        sa_blk = _block_sum(jnp.where(active, sa_map, 0), b)
 
     # per-block active-extent denominators
     bx0 = np.arange(nb_w) * b
@@ -218,17 +230,21 @@ def _xpsnr_frame_stats(org, rec, depth: int, frame_rate: int,
 
     # --- temporal activity ---
     if temporal:
-        order = 2 if frame_rate >= 32 else 1
-        p1 = jnp.concatenate([jnp.zeros_like(org[0][:1]), org[0][:-1]], axis=0)
-        p2 = jnp.concatenate([jnp.zeros_like(org[0][:2]), org[0][:-2]], axis=0)
-        if order == 2:
-            # frame 1 has p1 but no p2; frame 0 has neither — zero fills
-            ta_map = _cell2_sums(org[0], p1, p2, 2) if b_val == 2 else \
-                _tempdiff_map(org[0], p1, p2, 2)
+        if use_kernel:
+            ta_blk = ta_k * GAMMA
         else:
-            ta_map = _cell2_sums(org[0], p1, p2, 1) if b_val == 2 else \
-                _tempdiff_map(org[0], p1, p2, 1)
-        ta_blk = _block_sum(ta_map, b) * GAMMA
+            p1 = jnp.concatenate(
+                [jnp.zeros_like(org[0][:1]), org[0][:-1]], axis=0)
+            p2 = jnp.concatenate(
+                [jnp.zeros_like(org[0][:2]), org[0][:-2]], axis=0)
+            if order == 2:
+                # frame 1 has p1 but no p2; frame 0 has neither — zero fills
+                ta_map = _cell2_sums(org[0], p1, p2, 2) if b_val == 2 else \
+                    _tempdiff_map(org[0], p1, p2, 2)
+            else:
+                ta_map = _cell2_sums(org[0], p1, p2, 1) if b_val == 2 else \
+                    _tempdiff_map(org[0], p1, p2, 1)
+            ta_blk = _block_sum(ta_map, b) * GAMMA
         bw_ext = (wax - bx0).astype(np.float64)
         bh_ext = (way - by0).astype(np.float64)
         denom_ta = jnp.asarray(bh_ext[:, None] * bw_ext[None, :])
@@ -251,11 +267,16 @@ def _xpsnr_frame_stats(org, rec, depth: int, frame_rate: int,
     wsse[0] = jnp.where(jnp.sum(sse_blk * weights, axis=(1, 2)) <= 0.0, 0.0, wsse[0])
 
     for c in range(1, num_comps):
-        dc = org[c].astype(jnp.int32) - rec[c].astype(jnp.int32)
         bx = (b * widths[c]) // w
         by = (b * heights[c]) // h
         # chroma blocks may be rectangular (bx != by for 422/440)
-        blk = _block_sum(dc * dc, bx, by)
+        if use_kernel and by % 8 == 0:
+            from ..kernels.xpsnr_pallas import chroma_sse_pallas
+
+            blk = chroma_sse_pallas(org[c], rec[c], by, bx, nb_w)
+        else:
+            dc = org[c].astype(jnp.int32) - rec[c].astype(jnp.int32)
+            blk = _block_sum(dc * dc, bx, by)
         s = jnp.sum(blk * weights, axis=(1, 2))
         wsse.append(jnp.where(s <= 0.0, 0.0, jnp.trunc(s * avg_act + 0.5)))
 
