@@ -145,9 +145,13 @@ def _blur(x):
 
 
 def _norms(m, npix):
-    s1 = jnp.sum(m.astype(jnp.float64), axis=(1, 2)) * npix
-    m4 = m.astype(jnp.float64) ** 4
-    s4 = jnp.sqrt(jnp.sqrt(jnp.sum(m4, axis=(1, 2)) * npix))
+    # full-resolution math stays f32 (emulated f64 vector ops are ~10x);
+    # XLA's tree reduction keeps the f32 sum error ~1e-7 relative, far
+    # inside the metric's 1e-3 score tolerance.  The scalar tail widens
+    # to f64 to match the reference's final fold.
+    s1 = jnp.sum(m, axis=(1, 2)).astype(jnp.float64) * npix
+    m4 = (m * m) * (m * m)
+    s4 = jnp.sqrt(jnp.sqrt(jnp.sum(m4, axis=(1, 2)).astype(jnp.float64) * npix))
     return s1, s4
 
 
@@ -183,19 +187,20 @@ def _ssimulacra2_frames(planes1, planes2):
                 m22 = mu2 * mu2
                 m12 = mu1 * mu2
                 md = mu1 - mu2
-                num_m = (1.0 - md * md).astype(jnp.float64)
-                num_s = (2.0 * (s12 - m12) + jnp.float32(0.0009)).astype(jnp.float64)
-                den_s = (sq - 2.0 * s12 - m11 - m22 + jnp.float32(0.0009)).astype(jnp.float64)
-                d1 = jnp.maximum(1.0 - (num_m * num_s) / den_s, 0.0)
+                num_m = 1.0 - md * md
+                num_s = 2.0 * (s12 - m12) + jnp.float32(0.0009)
+                den_s = sq - 2.0 * s12 - m11 - m22 + jnp.float32(0.0009)
+                d1 = jnp.maximum(1.0 - (num_m * num_s) / den_s,
+                                 jnp.float32(0.0))
                 ssim1, ssim4 = _norms(d1, npix)
             else:
                 ssim1 = ssim4 = jnp.zeros((n,), jnp.float64)
             if not (sk["artifact"] and sk["detailloss"]):
-                n1 = jnp.abs(im1 - mu1).astype(jnp.float64)
-                n2 = jnp.abs(im2 - mu2).astype(jnp.float64)
+                n1 = jnp.abs(im1 - mu1)
+                n2 = jnp.abs(im2 - mu2)
                 d1e = (1.0 + n2) / (1.0 + n1) - 1.0
-                art1, art4 = _norms(jnp.maximum(d1e, 0.0), npix)
-                det1, det4 = _norms(jnp.maximum(-d1e, 0.0), npix)
+                art1, art4 = _norms(jnp.maximum(d1e, jnp.float32(0.0)), npix)
+                det1, det4 = _norms(jnp.maximum(-d1e, jnp.float32(0.0)), npix)
             else:
                 art1 = art4 = det1 = det4 = jnp.zeros((n,), jnp.float64)
             terms[(scale, plane)] = (ssim1, ssim4, art1, art4, det1, det4)
