@@ -86,3 +86,26 @@ def test_xpsnr_kernels_match_jnp(interp):
     dc = co.astype(jnp.int32) - cr.astype(jnp.int32)
     want = _block_sum(dc * dc, 32, 32)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_checkmate_kernel_matches_jnp(interp):
+    import importlib
+
+    import jax.numpy as jnp
+
+    from vszip_tpu.kernels import checkmate_pallas as kp
+
+    C = importlib.import_module("vszip_tpu.ops.checkmate")
+    interp(kp)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.integers(0, 256, (4, 70, 130), dtype=np.uint8))
+    for thr, tmax, tthr2 in [(12, 12, 0), (12, 12, 5), (20, 30, 0)]:
+        use = tthr2 > 0
+        got = np.asarray(kp.checkmate_pallas(x, thr, tmax, tthr2, use))
+        p1 = C._frame_shift(x, -1)
+        n1 = C._frame_shift(x, 1)
+        p2 = C._frame_shift(x, -2) if use else x
+        n2 = C._frame_shift(x, 2) if use else x
+        want = np.asarray(
+            C._checkmate_plane(x, p1, n1, p2, n2, thr, tmax, tthr2, use))
+        np.testing.assert_array_equal(got, want)
