@@ -109,3 +109,25 @@ def test_checkmate_kernel_matches_jnp(interp):
         want = np.asarray(
             C._checkmate_plane(x, p1, n1, p2, n2, thr, tmax, tthr2, use))
         np.testing.assert_array_equal(got, want)
+
+
+def test_comb_mask_kernel_matches_jnp(interp):
+    import importlib
+
+    import jax.numpy as jnp
+
+    from vszip_tpu.kernels import comb_mask_pallas as kp
+
+    C = importlib.import_module("vszip_tpu.ops.comb_mask")
+    interp(kp)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.integers(0, 256, (3, 70, 130), dtype=np.uint8))
+    prev = jnp.concatenate([x[:1], x[:-1]], axis=0)
+    for metric, mthresh, expand in [(False, 9, True), (True, 9, True),
+                                    (False, 0, True), (False, 9, False)]:
+        cth6 = 0 if metric else 6 * 6
+        got = np.asarray(kp.comb_mask_pallas(x, 6, cth6, mthresh, metric,
+                                             expand))
+        want = np.asarray(
+            C._comb_mask_plane(x, prev, 6, cth6, mthresh, metric, expand))
+        np.testing.assert_array_equal(got, want)
