@@ -9,14 +9,32 @@ import os
 import sys
 from pathlib import Path
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+# Env vars alone are overridden by out-of-tree platform plugins (e.g. the
+# axon TPU relay registers itself regardless of JAX_PLATFORMS), so force the
+# platform through jax.config before any backend initializes.  This is what
+# guarantees the suite really runs on the 8-device CPU mesh.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
+
+
+def pytest_sessionstart(session):
+    n = len(jax.devices())
+    if n < 8 or jax.devices()[0].platform != "cpu":
+        raise RuntimeError(
+            f"test suite requires the 8-virtual-device CPU mesh, got "
+            f"{n} {jax.devices()[0].platform} device(s); check XLA_FLAGS "
+            f"and jax_platforms forcing in conftest.py"
+        )
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 

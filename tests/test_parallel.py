@@ -18,8 +18,8 @@ from vszip_tpu.parallel.mesh import frames_mesh, shard_clip
 
 @pytest.fixture(scope="module")
 def mesh():
-    if len(jax.devices()) < 8:
-        pytest.skip("needs the 8-device CPU mesh")
+    # No skip: conftest guarantees the 8-device CPU mesh; frames_mesh raises
+    # (= test failure, not green-washed skip) if it is not actually there.
     return frames_mesh(8)
 
 

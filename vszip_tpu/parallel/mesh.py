@@ -23,10 +23,23 @@ FRAMES_AXIS = "frames"
 
 
 def frames_mesh(n_devices: int | None = None, devices=None) -> Mesh:
-    """1-D mesh over `n_devices` (default: all visible devices)."""
+    """1-D mesh over `n_devices` (default: all visible devices).
+
+    Raises if fewer than `n_devices` devices are visible — a silently
+    truncated mesh would let multi-chip tests "pass" on one device.
+    """
     if devices is None:
         devices = jax.devices()
         if n_devices is not None:
+            if len(devices) < n_devices:
+                raise RuntimeError(
+                    f"frames_mesh: requested {n_devices} devices but only "
+                    f"{len(devices)} visible "
+                    f"({devices[0].platform}); for a virtual CPU mesh set "
+                    f"XLA_FLAGS=--xla_force_host_platform_device_count="
+                    f"{n_devices} and jax.config.update('jax_platforms', "
+                    f"'cpu') before JAX initializes"
+                )
             devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (FRAMES_AXIS,))
 
