@@ -1,17 +1,18 @@
 """Deterministic test fixtures.
 
-The reference suite derives all inputs from one 1920x1080 photo via the
-VapourSynth resize pipeline (reference tests/conftest.py:73-135).  That
-pipeline (zimg) isn't available here, so this suite generates an equivalent
-deterministic source procedurally: a 640x320 RGB24 image with smooth
-gradients, multi-scale sinusoids, sharp edges, disks, and pixel noise — the
-same mix of content classes (flat areas, edges, texture, noise) the photo
-provides — plus a 3-frame vertically-shifted temporal variant
-(reference tests/conftest.py:138-167).
+The reference suite derives all inputs from one 1920x1080 photo
+(reference tests/conftest.py:73-135): a 640x320 RGB24 crop of
+tests/image.png, plus a 3-frame vertically-shifted temporal variant
+(reference tests/conftest.py:138-167).  This suite anchors to the SAME
+content: the photo is decoded with the in-repo PNG decoder and cropped with
+the reference's exact geometry (left = width-640, bottom = height-320), so
+content-level comparisons against reference numbers (e.g. the SSIMULACRA2
+68.625 anchor) are meaningful.  Set VSZIP_TEST_IMAGE to point elsewhere.
 
 Format conversions mirror the fixture pipeline's semantics:
 * RGB -> YUV via BT.709 limited-range matrix (the reference uses matrix=1),
-  box-averaged chroma subsampling for 4:2:0/4:2:2.
+  box-averaged chroma subsampling for 4:2:0/4:2:2 (documented deviation:
+  the reference resamples through zimg Bilinear).
 * integer depth changes by bit shift (zimg's integer depth conversion),
   float formats normalized so limited-range maps to [0,1] luma / [-0.5,0.5]
   chroma and RGB to [0,1].
@@ -21,6 +22,10 @@ Geometry variants reproduce the reference's full/odd/tiny scheme
 
 from __future__ import annotations
 
+import os
+from functools import lru_cache
+from pathlib import Path
+
 import numpy as np
 
 from vszip_tpu import Clip, get_format
@@ -28,50 +33,41 @@ from vszip_tpu.core.format import ColorFamily, SampleType
 
 W, H = 640, 320
 
+IMAGE = Path(
+    os.environ.get("VSZIP_TEST_IMAGE", "/root/reference/tests/image.png")
+)
 
-def _rgb_image(shift: int = 0) -> np.ndarray:
-    """(H, W, 3) float in [0,1].  `shift` rolls content down by whole rows,
-    emulating the reference's shifted-crop temporal frames."""
-    # generate taller field and crop, so shifted frames share real content
-    hh = H + 8
-    y, x = np.mgrid[0:hh, 0:W].astype(np.float64)
-    y -= shift
-    r = (
-        0.45
-        + 0.25 * np.sin(2 * np.pi * x / 97.0)
-        + 0.18 * np.sin(2 * np.pi * (x + 2 * y) / 13.0)
+
+@lru_cache(maxsize=1)
+def _photo_planes() -> tuple:
+    """(3, Himg, Wimg) uint8 planes of the full reference photo."""
+    from vszip_tpu.io.image_read import image_read
+
+    clip = image_read(str(IMAGE))
+    assert clip.format.name == "RGB24", clip.format.name
+    return tuple(np.asarray(p)[0] for p in clip.planes)
+
+
+def _crop(top: int = 0) -> np.ndarray:
+    """(H, W, 3) uint8: the reference crop (right-top corner region), rows
+    shifted down by `top` (reference tests/conftest.py:142-147)."""
+    planes = _photo_planes()
+    ih, iw = planes[0].shape
+    return np.stack(
+        [p[top : top + H, iw - W : iw] for p in planes], axis=-1
     )
-    g = (
-        0.5
-        + 0.3 * np.cos(2 * np.pi * y / 61.0)
-        + 0.1 * np.sign(np.sin(2 * np.pi * x / 41.0))  # hard vertical edges
-    )
-    b = 0.35 + 0.4 * (x / W) * (y / hh)
-    # disks of varying radius (sharp circular edges)
-    for cx, cy, rad, amp in [(100, 80, 40, 0.3), (420, 200, 70, -0.25), (550, 60, 25, 0.35)]:
-        mask = (x - cx) ** 2 + (y - cy) ** 2 < rad**2
-        r = np.where(mask, r + amp, r)
-        g = np.where(mask, g - amp / 2, g)
-    # deterministic pixel noise (fixed seed, position-independent of shift)
-    rng = np.random.default_rng(1234)
-    noise = rng.normal(0.0, 0.02, size=(hh, W, 3))
-    img = np.stack([r, g, b], axis=-1) + noise
-    img = np.clip(img, 0.0, 1.0)
-    return img[shift : shift + H]
 
 
 def source_rgb24() -> Clip:
-    """Single-frame 640x320 RGB24 clip."""
-    img = _rgb_image(0)
-    u8 = np.clip(np.round(img * 255.0), 0, 255).astype(np.uint8)
+    """Single-frame 640x320 RGB24 crop of the reference photo."""
+    u8 = _crop(0)
     planes = tuple(u8[None, :, :, c] for c in range(3))
     return Clip.from_planes(planes, get_format("RGB24"))
 
 
 def temporal_rgb24() -> Clip:
-    """3-frame clip; frame n is the content shifted down n rows."""
-    frames = [_rgb_image(n) for n in range(3)]
-    u8 = np.clip(np.round(np.stack(frames) * 255.0), 0, 255).astype(np.uint8)
+    """3-frame clip; frame n is the crop shifted down n rows."""
+    u8 = np.stack([_crop(n) for n in range(3)])
     planes = tuple(u8[:, :, :, c] for c in range(3))
     return Clip.from_planes(planes, get_format("RGB24"))
 

@@ -33,6 +33,53 @@ def _temp_diff(cur, p1, p2, bw, bh, oy, ox, order):
     return ta * 2
 
 
+def _highds_act(pic, x0, x1, y0, y1):
+    """>HD spatial activity: the reference's 2x-downsampled high-pass
+    (src/filters/xpsnr.zig highds, :28-61) evaluated at even coordinates
+    y in [y0,y1) step 2, x in [x0,x1) step 2.  Vectorized over the block
+    (exact: all int64), taps reach (-2..+3) around each 2x2 cell."""
+    p = pic.astype(np.int64)
+    ys = np.arange(y0, y1, 2)
+    xs = np.arange(x0, x1, 2)
+    if len(ys) == 0 or len(xs) == 0:
+        return 0
+    Y, X = np.meshgrid(ys, xs, indexing="ij")
+
+    def g(dy, dx):
+        return p[Y + dy, X + dx]
+
+    f = (
+        12 * (g(0, 0) + g(0, 1) + g(1, 0) + g(1, 1))
+        - 3 * (g(-1, 0) + g(-1, 1) + g(2, 0) + g(2, 1))
+        - 3 * (g(0, -1) + g(0, 2) + g(1, -1) + g(1, 2))
+        - 2 * (g(-1, -1) + g(-1, 2) + g(2, -1) + g(2, 2))
+        - (g(-2, -1) + g(-2, 0) + g(-2, 1) + g(-2, 2)
+           + g(3, -1) + g(3, 0) + g(3, 1) + g(3, 2)
+           + g(-1, -2) + g(0, -2) + g(1, -2) + g(2, -2)
+           + g(-1, 3) + g(0, 3) + g(1, 3) + g(2, 3))
+    )
+    return int(np.abs(f).sum())
+
+
+def _temp_diff_cells(cur, p1, p2, bw, bh, oy, ox, order):
+    """>HD temporal activity: 2x2-cell-aggregated |t| over the FULL block
+    (reference diff1st/diff2nd, src/filters/xpsnr.zig:63-110)."""
+    ys = np.arange(oy, oy + bh, 2)
+    xs = np.arange(ox, ox + bw, 2)
+    Y, X = np.meshgrid(ys, xs, indexing="ij")
+
+    def cell(a):
+        a = a.astype(np.int64)
+        return a[Y, X] + a[Y, X + 1] + a[Y + 1, X] + a[Y + 1, X + 1]
+
+    t = cell(cur)
+    if order >= 1 and p1 is not None:
+        t = t - (2 if order == 2 else 1) * cell(p1)
+    if order == 2 and p2 is not None:
+        t = t + cell(p2)
+    return int(np.abs(t).sum()) * 2
+
+
 def wsse_frame_ref(org, rec, prv1, prv2, widths, heights, depth, frame_rate,
                    temporal):
     """org/rec: list of (H,W) planes for one frame.  Returns wsse64 list."""
@@ -66,11 +113,19 @@ def wsse_frame_ref(org, rec, prv1, prv2, widths, heights, depth, frame_rate,
             ha = bh if y0 + bh < h else bh - b_val
             ms = 1.0
             if wa > xa and ha > ya:
-                # b_val == 1 path only (test fixtures are small)
-                sa = _spatial_act(org[0], x0 + xa, x0 + wa, y0 + ya, y0 + ha)
+                if b_val == 2:
+                    # >HD path: downsampled high-pass, skipped for narrow
+                    # blocks (w_act <= 12); 2x2-cell temporal aggregation.
+                    sa = (_highds_act(org[0], x0 + xa, x0 + wa, y0 + ya, y0 + ha)
+                          if wa > 12 else 0)
+                else:
+                    sa = _spatial_act(org[0], x0 + xa, x0 + wa, y0 + ya, y0 + ha)
                 ms = sa / ((wa - xa) * (ha - ya))
                 if temporal:
-                    ta = _temp_diff(org[0], prv1, prv2, bw, bh, y0, x0, order)
+                    if b_val == 2:
+                        ta = _temp_diff_cells(org[0], prv1, prv2, bw, bh, y0, x0, order)
+                    else:
+                        ta = _temp_diff(org[0], prv1, prv2, bw, bh, y0, x0, order)
                     ms += ta / (bw * bh)
                 ms = max(ms, float(1 << (depth - 6)))
                 ms = ms * ms

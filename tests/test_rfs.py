@@ -46,6 +46,55 @@ def test_rfs_errors(make_temporal_clip, make_clip):
         rfs(a, make_temporal_clip("GRAY16"))
 
 
+def test_rfs_mismatch_format(make_temporal_clip):
+    """mismatch=True serves frames wholesale from either source and wipes
+    the diverging clip-level info (reference src/vapoursynth/rfs.zig:150-188)."""
+    from vszip_tpu import VariableClip
+
+    a = make_temporal_clip("GRAY8")
+    b = make_temporal_clip("GRAY16")
+    out = rfs(a, b, frames=[1], mismatch=True)
+    assert isinstance(out, VariableClip)
+    assert out.num_frames == 3
+    assert out.format is None  # formats diverge -> wiped
+    assert out.width == a.width and out.height == a.height  # dims agree
+    f0, f1 = out.get_frame(0), out.get_frame(1)
+    assert f0.format.name == "GRAY8" and f1.format.name == "GRAY16"
+    np.testing.assert_array_equal(np.asarray(f0.planes[0]), np.asarray(a.planes[0][:1]))
+    np.testing.assert_array_equal(np.asarray(f1.planes[0]), np.asarray(b.planes[0][1:2]))
+
+
+def test_rfs_mismatch_dims(make_temporal_clip):
+    from fixtures import crop_abs
+    from vszip_tpu import VariableClip
+
+    a = make_temporal_clip("GRAY8")
+    b = crop_abs(a, 64, 64)
+    out = rfs(a, b, frames=[0], mismatch=True)
+    assert isinstance(out, VariableClip)
+    assert out.width == 0 and out.height == 0  # dims diverge -> wiped
+    assert out.format.name == "GRAY8"  # formats agree -> kept
+    assert out.get_frame(0).width == 64
+    assert out.get_frame(1).width == a.width
+
+
+def test_rfs_mismatch_same_format_stays_dense(make_temporal_clip):
+    """When nothing actually diverges, mismatch=True output is a normal clip
+    (the reference only wipes fields that differ)."""
+    a = make_temporal_clip("GRAY8")
+    b = boxblur(a, hradius=1, vradius=1)
+    out = rfs(a, b, frames=[2], mismatch=True)
+    np.testing.assert_array_equal(np.asarray(out.planes[0][2]), np.asarray(b.planes[0][2]))
+    np.testing.assert_array_equal(np.asarray(out.planes[0][0]), np.asarray(a.planes[0][0]))
+
+
+def test_rfs_mismatch_planes_subset_rejected(make_temporal_clip):
+    a = make_temporal_clip("YUV420P8")
+    b = make_temporal_clip("YUV420P16")
+    with pytest.raises(VSZipError, match="planes subset requires"):
+        rfs(a, b, frames=[0], planes=[0], mismatch=True)
+
+
 def test_packrgb_rgb24(make_clip):
     clip = make_clip("RGB24")
     out = packrgb(clip)

@@ -27,7 +27,7 @@ _jax.config.update("jax_enable_x64", True)
 if _sys.getrecursionlimit() < 10000:
     _sys.setrecursionlimit(10000)
 
-from .core.clip import Clip  # noqa: E402
+from .core.clip import Clip, VariableClip  # noqa: E402
 from .core.format import (  # noqa: E402
     ColorFamily,
     ColorRange,
@@ -36,7 +36,12 @@ from .core.format import (  # noqa: E402
     get_format,
 )
 from .core.params import VSZipError  # noqa: E402
-from .core.resample import bit_depth, srgb_to_linear, to_rgbs  # noqa: E402
+from .core.resample import (  # noqa: E402
+    bit_depth,
+    resize,
+    srgb_to_linear,
+    to_rgbs,
+)
 from .io import image_read  # noqa: E402
 from .ops import *  # noqa: E402,F401,F403
 

@@ -143,3 +143,51 @@ class Clip:
         import jax.numpy as jnp
 
         return Clip(tuple(jnp.asarray(p) for p in self.planes), self.format, dict(self.props))
+
+    def frame(self, n: int) -> "Clip":
+        """Single-frame view (length-1 clip) of frame n."""
+        return Clip(
+            tuple(p[n : n + 1] for p in self.planes), self.format, dict(self.props)
+        )
+
+
+class VariableClip:
+    """Variable-format clip: per-frame references into heterogeneous sources.
+
+    The reference's RFS ``mismatch=True`` wipes width/height/format on the
+    output VideoInfo and serves each frame wholesale from clip a or b
+    (reference src/vapoursynth/rfs.zig:150-188 + the getFrame passthrough
+    :18-29).  Batched plane tensors can't hold ragged frames, so the
+    TPU-native equivalent is this lazy union: ``get_frame(n)`` materializes a
+    single-frame Clip from whichever source owns frame n.  Dimensions/format
+    report 0/None when the sources disagree, mirroring the wiped VideoInfo.
+    """
+
+    def __init__(self, sources, table):
+        """sources: sequence of Clip; table: per-frame (source_idx, frame_idx)."""
+        self.sources = tuple(sources)
+        self.table = tuple((int(s), int(f)) for s, f in table)
+
+    @property
+    def num_frames(self) -> int:
+        return len(self.table)
+
+    def _common(self, getter, wipe):
+        vals = {getter(s) for s in self.sources}
+        return vals.pop() if len(vals) == 1 else wipe
+
+    @property
+    def width(self) -> int:
+        return self._common(lambda s: s.width, 0)
+
+    @property
+    def height(self) -> int:
+        return self._common(lambda s: s.height, 0)
+
+    @property
+    def format(self):
+        return self._common(lambda s: s.format, None)
+
+    def get_frame(self, n: int) -> Clip:
+        src_idx, frame_idx = self.table[n]
+        return self.sources[src_idx].frame(frame_idx)

@@ -29,6 +29,26 @@ from ..core.params import VSZipError, require
 FILTER_NAME = "CLAHE"
 
 
+def _blend_bilinear_f32_exact(l0, l1, l2, l3, xa, ya):
+    """The reference's bilinear blend (clahe.zig:265-268) in strict f32:
+    every multiply/add is explicitly rounded to f32 (computed in f64, where
+    f32 products/sums are exact, then converted).  This makes the result
+    identical on every backend — XLA is otherwise free to contract mul+add
+    into FMA, which flips ties at the trunc(res+0.5) rounding boundary."""
+    def r(v):
+        return v.astype(jnp.float32).astype(jnp.float64)
+
+    l0, l1, l2, l3 = (v.astype(jnp.float64) for v in (l0, l1, l2, l3))
+    xa = xa.astype(jnp.float64)
+    ya = ya.astype(jnp.float64)
+    oxa = r(1.0 - xa)
+    oya = r(1.0 - ya)
+    t1 = r(r(l0 * oxa) + r(l1 * xa))
+    t2 = r(r(l2 * oxa) + r(l3 * xa))
+    res = r(r(t1 * oya) + r(t2 * ya))
+    return jnp.trunc(r(res + 0.5))
+
+
 @partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def _clahe_plane(x, limit: int, tiles_x: int, tiles_y: int, bits: int):
     n, height, width = x.shape
@@ -162,11 +182,9 @@ def _clahe_plane(x, limit: int, tiles_x: int, tiles_y: int, bits: int):
         l1 = ((acc >> 8) & 255).astype(jnp.float32)
         l2 = ((acc >> 16) & 255).astype(jnp.float32)
         l3 = ((acc >> 24) & 255).astype(jnp.float32)
-        res = (l0 * (1 - xa_p) + l1 * xa_p) * (1 - ya_p) + (
-            l2 * (1 - xa_p) + l3 * xa_p
-        ) * ya_p
+        res = _blend_bilinear_f32_exact(l0, l1, l2, l3, xa_p, ya_p)
         res = res.reshape(n, hp, wp)[:, thh : thh + height, twh : twh + width]
-        return jnp.trunc(res + jnp.float32(0.5)).astype(x.dtype)
+        return res.astype(x.dtype)
 
     # --- bilinear interpolation of 4 tile LUTs per pixel ---
     xs = np.arange(width, dtype=np.float32)
@@ -199,8 +217,7 @@ def _clahe_plane(x, limit: int, tiles_x: int, tiles_y: int, bits: int):
     l1 = look(ty1, tx2)
     l2 = look(ty2, tx1)
     l3 = look(ty2, tx2)
-    res = (l0 * (1 - xa) + l1 * xa) * (1 - ya) + (l2 * (1 - xa) + l3 * xa) * ya
-    return jnp.trunc(res + jnp.float32(0.5)).astype(x.dtype)
+    return _blend_bilinear_f32_exact(l0, l1, l2, l3, xa, ya).astype(x.dtype)
 
 
 def clahe(clip: Clip, limit: int = 7, tiles=None) -> Clip:

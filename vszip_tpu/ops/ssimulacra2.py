@@ -115,12 +115,24 @@ def _to_xyb(r, g, b):
 
 
 def _tap_hybrid(x, off: int, axis: int):
-    """The reference blur's edge mirror (same rule as the comptime BoxBlur:
-    top reflect-101 clamped, bottom tap reads n-1-off)."""
+    """The reference blur's edge rule (ssimulacra2.zig blurH :247-309):
+    leading taps reflect-101 clamped to n-1, trailing taps read the fixed
+    index n-1-off (clamped at 0 by the min(.., j) term)."""
     n = x.shape[axis]
     sl = lambda s, e: jax.lax.slice_in_dim(x, s, e, axis=axis)
     if off == 0:
         return x
+    if n <= _RADIUS:
+        # degenerate dims (deep pyramid levels of tiny inputs): build the
+        # tap from single-row slices by the literal index formula
+        idx = []
+        for j in range(n):
+            if off < 0:
+                idx.append(min(-off - j, n - 1) if j < -off else j + off)
+            else:
+                dist = n - 1 - j
+                idx.append(j - min(off - dist, j) if dist < off else j + off)
+        return jnp.concatenate([sl(i, i + 1) for i in idx], axis=axis)
     if off < 0:
         head = jnp.flip(sl(1, 1 - off), axis=axis)
         return jnp.concatenate([head, sl(0, n + off)], axis=axis)
@@ -243,9 +255,6 @@ def ssimulacra2(reference: Clip, distorted: Clip) -> Clip:
         if (c.format.sample_type is SampleType.FLOAT
                 and c.format.bits_per_sample == 16):
             raise VSZipError(f"{FILTER_NAME}: half precision input is not supported.")
-    require(reference.width >= 8 and reference.height >= 8, FILTER_NAME,
-            "input too small; need at least 8x8.")
-
     lin1 = srgb_to_linear(to_rgbs(reference))
     lin2 = srgb_to_linear(to_rgbs(distorted))
     # the 6-scale pyramid holds dozens of full-frame f32 intermediates;
