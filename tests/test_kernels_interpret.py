@@ -131,3 +131,72 @@ def test_comb_mask_kernel_matches_jnp(interp):
         want = np.asarray(
             C._comb_mask_plane(x, prev, 6, cth6, mthresh, metric, expand))
         np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("mode", [1, 3, 4, 5, 6])
+def test_deband_band_kernel_matches_oracle(interp, mode):
+    """The fused separable-mode band kernel vs the literal NumPy oracle
+    (bit-exact: integer mode arithmetic on identically resolved taps)."""
+    import jax.numpy as jnp
+
+    from oracle.deband_ref import deband_plane_ref
+    from vszip_tpu.kernels import deband_pallas as kp
+
+    interp(kp)
+    rng = np.random.default_rng(11)
+    H, W = 96, 256
+    x = rng.integers(0, 65536, (2, H, W), dtype=np.uint16)
+    ys = np.minimum(np.arange(H), H - 1 - np.arange(H))[:, None]
+    xs = np.minimum(np.arange(W), W - 1 - np.arange(W))[None, :]
+    cap = np.minimum(15, np.minimum(ys, xs))
+    v = np.minimum(rng.integers(0, 16, (H, W)), cap).astype(np.int32)
+    thr3 = (12337, 12337, 12337)
+
+    got = np.asarray(kp.deband_center_pallas(
+        jnp.asarray(x), jnp.asarray(v), mode, True, 15, thr3))
+
+    zero = np.zeros_like(v)
+    if mode == 1:
+        pre = dict(ref1_dy=v, ref1_dx=zero, ref2_dy=zero, ref2_dx=zero)
+    elif mode == 3:
+        pre = dict(ref1_dy=zero, ref1_dx=v, ref2_dy=zero, ref2_dx=zero)
+    else:
+        pre = dict(ref1_dy=v, ref1_dx=zero, ref2_dy=zero, ref2_dx=v)
+    pre["grain_y"] = np.zeros(W * H + 64, np.int16)
+    for n in range(x.shape[0]):
+        want = deband_plane_ref(
+            x[n], pre, False, mode, True, False, thr3, (0, 65535),
+            1.5, 0.15, W, "grain_y")
+        np.testing.assert_array_equal(got[n], want)
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [dict(radius=6, subspl=2), dict(radius=6), dict(radius=6, subspl=8)],
+    ids=["dense", "subspl0", "subspl8"],
+)
+def test_bilateral_dither_kernels_match_xla(interp, monkeypatch, kwargs):
+    """Both BilateralDither Pallas kernels (dense window + subspl point
+    lists) vs the XLA chain, through the public op."""
+    import importlib
+
+    import numpy as np
+
+    from vszip_tpu import Clip, get_format
+    from vszip_tpu.kernels import bilateral_dither_pallas as kp
+
+    bd = importlib.import_module("vszip_tpu.ops.bilateral_dither")
+    bb = importlib.import_module("vszip_tpu.ops.boxblur")
+
+    interp(kp)
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 65536, (1, 64, 128), dtype=np.uint16)
+    clip = Clip.from_planes((x,), get_format("GRAY16"))
+
+    monkeypatch.setattr(bb, "_on_tpu", lambda: True)
+    bd._dense.clear_cache()
+    got = np.asarray(bd.bilateral_dither(clip, **kwargs).planes[0])
+    monkeypatch.setattr(bb, "_on_tpu", lambda: False)
+    bd._dense.clear_cache()
+    want = np.asarray(bd.bilateral_dither(clip, **kwargs).planes[0])
+    np.testing.assert_array_equal(got, want)

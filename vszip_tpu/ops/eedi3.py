@@ -222,17 +222,42 @@ def _dp(tcosts, bmask, gamma: float, hp: bool):
                                 new_piT)
         return (new_pcost, new_piT), new_piT
 
-    xs_idx = jnp.arange(1, w, dtype=jnp.int32)
+    # K consecutive x-updates per scan iteration: the arithmetic chain is
+    # inherently sequential, but composing steps amortizes the TPU's
+    # per-scan-iteration overhead (the W-long scan is overhead-bound, not
+    # compute-bound, at these state sizes).  Trailing pad steps only touch
+    # the final carry (discarded) and piT rows we slice off.
+    K = 4
+    steps = w - 1
+    ns = -(steps // -K)
+    padn = ns * K - steps
+
+    xs_idx = jnp.arange(1, w + padn, dtype=jnp.int32)
     tc_seq = jnp.moveaxis(tcosts[:, :, :, 1:], 3, 0)  # (W-1, B, L, tpitch)
+    tc_seq = jnp.pad(tc_seq, ((0, padn), (0, 0), (0, 0), (0, 0)))
     is_x1 = (xs_idx == 1)[:, None, None, None]
     bm_seq = (
         jnp.moveaxis(bmask[:, :, 1:], 2, 0)
         if bmask is not None
-        else jnp.ones((w - 1, b, l), bool)
+        else jnp.ones((steps, b, l), bool)
     )
+    bm_seq = jnp.pad(bm_seq, ((0, padn), (0, 0), (0, 0)))
+
+    def stepK(carry, xs):
+        (tcs, isx), bms = xs  # leading K axis
+        outs = []
+        for k in range(K):
+            carry, piT = step(carry, ((tcs[k], isx[k]), bms[k]))
+            outs.append(piT)
+        return carry, jnp.stack(outs)
+
+    def grp(a):
+        return a.reshape((ns, K) + a.shape[1:])
+
     (_, _), piTs = jax.lax.scan(
-        step, (pcost0, piT0), ((tc_seq, is_x1), bm_seq)
+        stepK, (pcost0, piT0), ((grp(tc_seq), grp(is_x1)), grp(bm_seq))
     )
+    piTs = piTs.reshape((ns * K,) + piTs.shape[2:])[:steps]
     # piTs[x-1] = backtrack deltas for position x-1 .. i.e. piTs[i] is pbackt[i]
 
     mdis_center = (tpitch - 1) // 2
@@ -248,8 +273,19 @@ def _dp(tcosts, bmask, gamma: float, hp: bool):
         f2 = f + delta
         return f2, f2
 
+    def backK(carry, piTk):
+        outs = []
+        for k in reversed(range(K)):
+            carry, f2 = back(carry, piTk[k])
+            outs.append(f2)
+        return carry, jnp.stack(outs[::-1])
+
+    # zero-pad at the end: a zero piT row gives delta 0, so the pad steps
+    # consumed first by the reverse scan leave the carry untouched
+    piTs_b = grp(jnp.pad(piTs, ((0, padn), (0, 0), (0, 0), (0, 0))))
     f_last = jnp.zeros((b, l), jnp.int32)
-    _, fpaths = jax.lax.scan(back, f_last, piTs, reverse=True)
+    _, fpaths = jax.lax.scan(backK, f_last, piTs_b, reverse=True)
+    fpaths = fpaths.reshape((ns * K,) + fpaths.shape[2:])[:steps]
     # fpaths[i] = fpath at position i (for i in 0..w-2); position w-1 is 0
     fpath = jnp.concatenate(
         [jnp.moveaxis(fpaths, 0, 2), jnp.zeros((b, l, 1), jnp.int32)], axis=2
