@@ -84,20 +84,37 @@ def _pad_rows(rows):
     return jnp.take(rows, jnp.asarray(_pad_idx(w)), axis=-1)
 
 
+def _shifted(x2, t: int, ext: int):
+    """roll(x, t) replacement: a pure slice of the `ext`-zero-extended row.
+    The circular wrap of a true roll never reaches any used position
+    (|offsets| stay < PAD), so at every read lane the slice is
+    bit-identical — and unlike roll (concat of two slices, materialized per
+    direction) slices fuse into the consuming arithmetic, which is where
+    the cost build's HBM traffic went."""
+    n = x2.shape[-1] - 2 * ext
+    return jax.lax.slice_in_dim(x2, ext - t, ext - t + n, axis=x2.ndim - 1)
+
+
+def _ext_rows(rows, ext: int):
+    return [
+        jnp.pad(r, ((0, 0),) * (r.ndim - 1) + ((ext, ext),)) for r in rows
+    ]
+
+
 def _costs_nonhp(r3p, r1p, r1n, r3n, mdis, nrad, alpha, beta, one_minus_ab):
-    """(B, L, tpitch, w) connection costs; inputs are padded rows."""
+    """(tpitch, B, L, w) connection costs; inputs are padded rows."""
     w = r3p.shape[-1] - 2 * PAD
+    ext = 2 * mdis
+    r1p2, r1n2, r3n2 = _ext_rows((r1p, r1n, r3n), ext)
     costs = []
     for u in range(-mdis, mdis + 1):
         tu = 2 * u
         tb_parts = (
-            jnp.abs(r3p - jnp.roll(r1p, tu, axis=-1)),
-            jnp.abs(r1p - jnp.roll(r1n, tu, axis=-1)),
-            jnp.abs(r1n - jnp.roll(r3n, tu, axis=-1)),
+            jnp.abs(r3p - _shifted(r1p2, tu, ext)),
+            jnp.abs(r1p - _shifted(r1n2, tu, ext)),
+            jnp.abs(r1n - _shifted(r3n2, tu, ext)),
         )
-        # padded-space t_base: value at padded pos j is |a(j) - b(j - 2u)|...
-        # jnp.roll(x, tu) puts b(j - tu) at pos j for tu >= 0; for negatives
-        # likewise (cyclic wrap never reaches the used range: |2u| <= 80 < PAD)
+        # padded-space t_base: value at padded pos j is |a(j) - b(j - 2u)|
         tb = tb_parts[0] + tb_parts[1] + tb_parts[2]
         s = None
         for k in range(-nrad, nrad + 1):
@@ -111,7 +128,7 @@ def _costs_nonhp(r3p, r1p, r1n, r3n, mdis, nrad, alpha, beta, one_minus_ab):
             jnp.float32(alpha) * s + jnp.float32(beta * abs(u))
             + jnp.float32(one_minus_ab) * v
         )
-    return jnp.stack(costs, axis=2)
+    return jnp.stack(costs, axis=0)
 
 
 def _hp_row(a):
@@ -128,6 +145,9 @@ def _hp_row(a):
 def _costs_hp(r3p, r1p, r1n, r3n, mdis, nrad, alpha3, beta255, one_minus_ab):
     hp = [_hp_row(r) for r in (r3p, r1p, r1n, r3n)]
     cen = 2 * mdis
+    ext = cen
+    r1p2, r1n2, r3n2 = _ext_rows((r1p, r1n, r3n), ext)
+    hpB2, hpC2, hpD2 = _ext_rows(hp[1:], ext)
     costs = []
     for u in range(-cen, cen + 1):
         uh = u >> 1
@@ -135,15 +155,15 @@ def _costs_hp(r3p, r1p, r1n, r3n, mdis, nrad, alpha3, beta255, one_minus_ab):
         lo0 = (-uh - 1) if odd else -uh
         A0, B0, C0, D0 = hp if odd else (r3p, r1p, r1n, r3n)
         base_m = (
-            jnp.abs(r3p - jnp.roll(r1p, u, axis=-1))
-            + jnp.abs(r1p - jnp.roll(r1n, u, axis=-1))
-            + jnp.abs(r1n - jnp.roll(r3n, u, axis=-1))
+            jnp.abs(r3p - _shifted(r1p2, u, ext))
+            + jnp.abs(r1p - _shifted(r1n2, u, ext))
+            + jnp.abs(r1n - _shifted(r3n2, u, ext))
         )
         if odd:
             base0 = (
-                jnp.abs(A0 - jnp.roll(B0, u, axis=-1))
-                + jnp.abs(B0 - jnp.roll(C0, u, axis=-1))
-                + jnp.abs(C0 - jnp.roll(D0, u, axis=-1))
+                jnp.abs(A0 - _shifted(hpB2, u, ext))
+                + jnp.abs(B0 - _shifted(hpC2, u, ext))
+                + jnp.abs(C0 - _shifted(hpD2, u, ext))
             )
         else:
             base0 = base_m
@@ -162,17 +182,19 @@ def _costs_hp(r3p, r1p, r1n, r3n, mdis, nrad, alpha3, beta255, one_minus_ab):
             + jnp.float32(beta255 * abs(u) * 0.5)
             + jnp.float32(one_minus_ab) * v
         )
-    return jnp.stack(costs, axis=2)
+    return jnp.stack(costs, axis=0)
 
 
 def _dp(tcosts, bmask, gamma: float, hp: bool):
-    """Viterbi DP across x.  tcosts (B, L, tpitch, W); bmask (B, L, W) bool
-    or None.  Returns fpath (B, L, W) i32."""
-    b, l, tpitch, w = tcosts.shape
+    """Viterbi DP across x.  tcosts (tpitch, B, L, W) — tpitch LEADS so the
+    per-step state tiles (B, L) onto the (8,128) register layout; with
+    tpitch minormost the scan ran on 41 of 128 lanes.  bmask (B, L, W)
+    bool or None.  Returns fpath (B, L, W) i32."""
+    tpitch, b, l, w = tcosts.shape
     big = jnp.float32(FLT_MAX_09)
 
     pcost0 = tcosts[:, :, :, 0]
-    piT0 = jnp.zeros((b, l, tpitch), jnp.int8)
+    piT0 = jnp.zeros((tpitch, b, l), jnp.int8)
 
     if hp:
         gammas = [(2, gamma), (1, gamma * 0.5)]
@@ -181,28 +203,28 @@ def _dp(tcosts, bmask, gamma: float, hp: bool):
 
     def step(carry, xs):
         pcost, prev_piT = carry
-        tc, bm = xs  # tc (B, L, tpitch); bm (B, L) bool; x index
-        tcx, is_x1 = tc
-        # candidate chain in the reference's strict-less order
+        (tcx, is_x1), bm = xs  # tcx (tpitch, B, L); bm (B, L)
+        # candidate chain in the reference's strict-less order; the +-1/2
+        # transition shifts are slices along the leading tpitch axis
         if hp:
-            pad = jnp.pad(pcost, ((0, 0), (0, 0), (2, 2)), constant_values=big)
+            pad = jnp.pad(pcost, ((2, 2), (0, 0), (0, 0)), constant_values=big)
             cands = [
-                (pad[:, :, 0:tpitch] + jnp.float32(gamma), -2),
-                (pad[:, :, 1 : tpitch + 1] + jnp.float32(gamma * 0.5), -1),
-                (pad[:, :, 2 : tpitch + 2], 0),
-                (pad[:, :, 3 : tpitch + 3] + jnp.float32(gamma * 0.5), 1),
-                (pad[:, :, 4 : tpitch + 4] + jnp.float32(gamma), 2),
+                (pad[0:tpitch] + jnp.float32(gamma), -2),
+                (pad[1 : tpitch + 1] + jnp.float32(gamma * 0.5), -1),
+                (pad[2 : tpitch + 2], 0),
+                (pad[3 : tpitch + 3] + jnp.float32(gamma * 0.5), 1),
+                (pad[4 : tpitch + 4] + jnp.float32(gamma), 2),
             ]
-            bval, bd = cands[0][0], jnp.full((b, l, tpitch), -2, jnp.int8)
+            bval, bd = cands[0][0], jnp.full((tpitch, b, l), -2, jnp.int8)
             for cv, dv in cands[1:]:
                 m = cv < bval
                 bval = jnp.where(m, cv, bval)
                 bd = jnp.where(m, jnp.int8(dv), bd)
         else:
-            pad = jnp.pad(pcost, ((0, 0), (0, 0), (1, 1)), constant_values=big)
-            left = pad[:, :, 0:tpitch] + jnp.float32(gamma)
-            cent = pad[:, :, 1 : tpitch + 1]
-            right = pad[:, :, 2 : tpitch + 2] + jnp.float32(gamma)
+            pad = jnp.pad(pcost, ((1, 1), (0, 0), (0, 0)), constant_values=big)
+            left = pad[0:tpitch] + jnp.float32(gamma)
+            cent = pad[1 : tpitch + 1]
+            right = pad[2 : tpitch + 2] + jnp.float32(gamma)
             lw = left < cent
             bval = jnp.where(lw, left, cent)
             bd = jnp.where(lw, jnp.int8(-1), jnp.int8(0))
@@ -213,7 +235,7 @@ def _dp(tcosts, bmask, gamma: float, hp: bool):
         new_pcost = jnp.minimum(bval + tcx, big)
         new_piT = bd
         if bmask is not None:
-            inactive = ~bm[:, :, None]
+            inactive = ~bm[None]
             # inactive x: carry costs through; at x==1 reset to tcosts[x]
             reset = jnp.where(is_x1, tcx, pcost)
             new_pcost = jnp.where(inactive, reset, new_pcost)
@@ -222,26 +244,22 @@ def _dp(tcosts, bmask, gamma: float, hp: bool):
                                 new_piT)
         return (new_pcost, new_piT), new_piT
 
-    # K consecutive x-updates per scan iteration: the arithmetic chain is
-    # inherently sequential, but composing steps amortizes the TPU's
-    # per-scan-iteration overhead (the W-long scan is overhead-bound, not
-    # compute-bound, at these state sizes).  Trailing pad steps only touch
-    # the final carry (discarded) and piT rows we slice off.
+    # K consecutive x-updates per scan iteration amortize per-iteration
+    # overhead; the remainder steps run unrolled outside the scan (padding
+    # the multi-GB cost sequence to a K-multiple doubled peak HBM).
     K = 4
     steps = w - 1
-    ns = -(steps // -K)
-    padn = ns * K - steps
+    ns = steps // K
+    rem = steps - ns * K
 
-    xs_idx = jnp.arange(1, w + padn, dtype=jnp.int32)
-    tc_seq = jnp.moveaxis(tcosts[:, :, :, 1:], 3, 0)  # (W-1, B, L, tpitch)
-    tc_seq = jnp.pad(tc_seq, ((0, padn), (0, 0), (0, 0), (0, 0)))
+    tc_seq = jnp.moveaxis(tcosts[:, :, :, 1:], 3, 0)  # (W-1, tpitch, B, L)
+    xs_idx = jnp.arange(1, w, dtype=jnp.int32)
     is_x1 = (xs_idx == 1)[:, None, None, None]
     bm_seq = (
         jnp.moveaxis(bmask[:, :, 1:], 2, 0)
         if bmask is not None
         else jnp.ones((steps, b, l), bool)
     )
-    bm_seq = jnp.pad(bm_seq, ((0, padn), (0, 0), (0, 0)))
 
     def stepK(carry, xs):
         (tcs, isx), bms = xs  # leading K axis
@@ -251,13 +269,23 @@ def _dp(tcosts, bmask, gamma: float, hp: bool):
             outs.append(piT)
         return carry, jnp.stack(outs)
 
-    def grp(a):
-        return a.reshape((ns, K) + a.shape[1:])
+    def grp(a, n):
+        return a[: n * K].reshape((n, K) + a.shape[1:])
 
-    (_, _), piTs = jax.lax.scan(
-        stepK, (pcost0, piT0), ((grp(tc_seq), grp(is_x1)), grp(bm_seq))
+    carry = (pcost0, piT0)
+    carry, piTs = jax.lax.scan(
+        stepK, carry, ((grp(tc_seq, ns), grp(is_x1, ns)), grp(bm_seq, ns))
     )
-    piTs = piTs.reshape((ns * K,) + piTs.shape[2:])[:steps]
+    piTs = piTs.reshape((ns * K,) + piTs.shape[2:])
+    tail = []
+    for i in range(rem):
+        carry, piT = step(
+            carry,
+            ((tc_seq[ns * K + i], is_x1[ns * K + i]), bm_seq[ns * K + i]),
+        )
+        tail.append(piT)
+    if tail:
+        piTs = jnp.concatenate([piTs, jnp.stack(tail)], axis=0)
     # piTs[x-1] = backtrack deltas for position x-1 .. i.e. piTs[i] is pbackt[i]
 
     mdis_center = (tpitch - 1) // 2
@@ -267,9 +295,9 @@ def _dp(tcosts, bmask, gamma: float, hp: bool):
         idx = mdis_center + f
         # per-pixel tpitch lookup as a select chain (gathers serialize)
         piTi = piT.astype(jnp.int32)
-        delta = piTi[:, :, 0]
+        delta = piTi[0]
         for t in range(1, tpitch):
-            delta = jnp.where(idx == t, piTi[:, :, t], delta)
+            delta = jnp.where(idx == t, piTi[t], delta)
         f2 = f + delta
         return f2, f2
 
@@ -280,12 +308,16 @@ def _dp(tcosts, bmask, gamma: float, hp: bool):
             outs.append(f2)
         return carry, jnp.stack(outs[::-1])
 
-    # zero-pad at the end: a zero piT row gives delta 0, so the pad steps
-    # consumed first by the reverse scan leave the carry untouched
-    piTs_b = grp(jnp.pad(piTs, ((0, padn), (0, 0), (0, 0), (0, 0))))
+    # the trailing remainder steps are consumed first by the reverse pass
     f_last = jnp.zeros((b, l), jnp.int32)
-    _, fpaths = jax.lax.scan(backK, f_last, piTs_b, reverse=True)
-    fpaths = fpaths.reshape((ns * K,) + fpaths.shape[2:])[:steps]
+    tail_f = []
+    for i in reversed(range(rem)):
+        f_last, f2 = back(f_last, piTs[ns * K + i])
+        tail_f.append(f2)
+    _, fpaths = jax.lax.scan(backK, f_last, grp(piTs, ns), reverse=True)
+    fpaths = fpaths.reshape((ns * K,) + fpaths.shape[2:])
+    if tail_f:
+        fpaths = jnp.concatenate([fpaths, jnp.stack(tail_f[::-1])], axis=0)
     # fpaths[i] = fpath at position i (for i in 0..w-2); position w-1 is 0
     fpath = jnp.concatenate(
         [jnp.moveaxis(fpaths, 0, 2), jnp.zeros((b, l, 1), jnp.int32)], axis=2
