@@ -12,7 +12,8 @@ from vszip_tpu.ops.bilateral import bilateral
 CASES = sweep(
     base_fmt="YUV420P16",
     base_args={"sigmaS": 2, "sigmaR": 2},   # README benchmark config (alg2)
-    formats=("GRAY8", "GRAY16", "GRAYS", "YUV420P8", "YUV420P16", "YUV444PS"),
+    formats=("GRAY8", "GRAY16", "GRAYS", "YUV420P8", "YUV420P16", "YUV422P16",
+             "YUV440P8", "RGB24", "YUV444PS"),
     args=(
         {"sigmaS": 1, "sigmaR": 0.02},
         {"sigmaS": 3, "sigmaR": 0.02},       # default sigmaS, alg auto

@@ -16,7 +16,8 @@ from vszip_tpu.ops.boxblur import boxblur
 CASES = sweep(
     base_fmt="GRAY16",
     base_args={"hradius": 13, "vradius": 13},
-    formats=("GRAY8", "GRAY16", "GRAYH", "GRAYS", "YUV420P8", "YUV420P16", "YUV444PS"),
+    formats=("GRAY8", "GRAY16", "GRAYH", "GRAYS", "YUV420P8", "YUV420P16",
+             "YUV422P16", "YUV440P8", "RGB48", "YUV444PS"),
     args=(
         {"hradius": 1, "vradius": 1},
         {"hradius": 8, "vradius": 8},

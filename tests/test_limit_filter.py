@@ -13,7 +13,8 @@ from vszip_tpu.ops.limit_filter import limit_filter
 CASES = sweep(
     base_fmt="YUV420P16",
     base_args={"thr": 2},
-    formats=("GRAY8", "GRAY16", "GRAYS", "YUV420P8", "YUV420P16", "YUV444PS"),
+    formats=("GRAY8", "GRAY16", "GRAYS", "YUV420P8", "YUV420P16", "YUV422P8",
+             "RGB24", "YUV444PS"),
     args=(
         {"thr": 1},
         {"thr": 4, "elast": 4},

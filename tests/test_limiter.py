@@ -11,7 +11,7 @@ CASES = sweep(
     base_fmt="YUV420P16",
     base_args={},
     formats=("GRAY8", "GRAY16", "GRAY32", "GRAYS", "YUV420P8", "YUV420P16",
-             "YUV444PS", "RGB24", "RGBS"),
+             "YUV444PS", "YUV440P16", "RGB24", "RGB48", "RGBS"),
     args=(
         {"tv_range": True},
         {"tv_range": True, "mask": True},

@@ -11,7 +11,8 @@ from vszip_tpu.ops.planeaverage import plane_average
 CASES = sweep(
     base_fmt="YUV420P16",
     base_args={},
-    formats=("GRAY8", "GRAY16", "GRAY32", "GRAYS", "YUV420P8", "YUV444PS"),
+    formats=("GRAY8", "GRAY16", "GRAY32", "GRAYH", "GRAYS",
+             "YUV420P8", "YUV420P16", "YUV444PS", "RGB24", "RGBS"),
     args=(
         {"planes": [0, 1, 2]},
         {"exclude": [0, 65535]},
@@ -19,7 +20,19 @@ CASES = sweep(
         {"with_b": 1, "planes": [0, 1, 2]},
     ),
     geometries=("odd", "tiny"),
-)
+) + [
+    # planes subsets (reference tests/test_planeaverage.py:45-52)
+    Case("YUV420P8", "full", {"planes": [1]}),
+    Case("YUV420P8", "full", {"planes": [0, 2]}),
+    Case("RGB24", "full", {"planes": [0, 1, 2]}),
+    Case("RGBS", "full", {"planes": [0, 1, 2]}),
+    # active exclude on multi-plane
+    Case("YUV420P8", "full", {"exclude": [128], "planes": [0, 1, 2]}),
+    # prop rename with an active exclude
+    Case("GRAY8", "full", {"exclude": [128], "prop": "myavg"}),
+    # float clipb diff branch (diffacc/total, no peak division)
+    Case("GRAYS", "full", {"with_b": 1}),
+]
 
 
 def _run(make_clip, case):

@@ -11,7 +11,7 @@ from vszip_tpu.ops.planeminmax import plane_minmax
 CASES = sweep(
     base_fmt="YUV420P16",
     base_args={"minthr": 0.02, "maxthr": 0.02},
-    formats=("GRAY8", "GRAY16", "GRAYS", "YUV420P8"),
+    formats=("GRAY8", "GRAY16", "GRAYS", "YUV420P8", "YUV422P8", "RGB24"),
     args=(
         {"minthr": 0, "maxthr": 0},
         {"minthr": 0.5, "maxthr": 0.5},
