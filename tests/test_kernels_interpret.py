@@ -200,3 +200,40 @@ def test_bilateral_dither_kernels_match_xla(interp, monkeypatch, kwargs):
     bd._dense.clear_cache()
     want = np.asarray(bd.bilateral_dither(clip, **kwargs).planes[0])
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize(
+    "codec,kw",
+    [("mpeg2", dict(qscale=8, dc_prec=0)),
+     ("mpeg2", dict(qscale=4, dc_prec=2)),
+     ("jpeg", dict(quality=50)),
+     ("jpeg", dict(quality=10))],
+)
+def test_compress_kernel_matches_xla(interp, codec, kw):
+    import importlib
+
+    import jax.numpy as jnp
+
+    from vszip_tpu.kernels import compress_pallas as kp
+
+    cop = importlib.import_module("vszip_tpu.ops.compress")
+
+    interp(kp)
+    rng = np.random.default_rng(3)
+    h, w = 2 * kp.BH, 128
+    x = rng.integers(0, 256, (2, h, w), dtype=np.uint8)
+
+    qscale = kw.get("qscale", 8)
+    dc_prec = kw.get("dc_prec", 0)
+    quality = kw.get("quality", 50)
+    qa64, qb64, wide, consts = cop._quant_setup(codec, qscale, dc_prec,
+                                                quality, False)
+    assert not wide
+    level = 128 if codec == "jpeg" else 0
+    qa_t = jnp.asarray(cop._tile_plane(qa64, kp.BH, w, np.int32)[0])
+    qb_t = jnp.asarray(cop._tile_plane(qb64, kp.BH, w, np.int32)[0])
+    got = np.asarray(kp.compress_plane_pallas(
+        jnp.asarray(x), qa_t, qb_t, codec, consts, level))
+    want = np.asarray(cop._compress_plane(
+        jnp.asarray(x), codec, qscale, dc_prec, (quality, False)))
+    np.testing.assert_array_equal(got, want)
