@@ -102,7 +102,8 @@ def _ext_rows(rows, ext: int):
 
 
 def _costs_nonhp(r3p, r1p, r1n, r3n, mdis, nrad, alpha, beta, one_minus_ab):
-    """(tpitch, B, L, w) connection costs; inputs are padded rows."""
+    """list of tpitch (B, L, w) connection-cost arrays (one per direction
+    u); inputs are padded rows."""
     w = r3p.shape[-1] - 2 * PAD
     ext = 2 * mdis
     r1p2, r1n2, r3n2 = _ext_rows((r1p, r1n, r3n), ext)
@@ -128,7 +129,7 @@ def _costs_nonhp(r3p, r1p, r1n, r3n, mdis, nrad, alpha, beta, one_minus_ab):
             jnp.float32(alpha) * s + jnp.float32(beta * abs(u))
             + jnp.float32(one_minus_ab) * v
         )
-    return jnp.stack(costs, axis=0)
+    return costs
 
 
 def _hp_row(a):
@@ -182,7 +183,7 @@ def _costs_hp(r3p, r1p, r1n, r3n, mdis, nrad, alpha3, beta255, one_minus_ab):
             + jnp.float32(beta255 * abs(u) * 0.5)
             + jnp.float32(one_minus_ab) * v
         )
-    return jnp.stack(costs, axis=0)
+    return costs
 
 
 def _dp(tcosts, bmask, gamma: float, hp: bool):
@@ -453,17 +454,56 @@ def _build_bmask(maskp, mdis: int):
     return jnp.concatenate([bm_main, bm_tail], axis=2)
 
 
+def _dp_on_tpu() -> bool:
+    from .boxblur import _on_tpu
+
+    return _on_tpu()
+
+
+def _dp_via_pallas(clist, gamma: float, hp: bool, w: int):
+    """Relayout the per-direction cost list to the kernel's (Wp, TP, BLp)
+    x-leading form and run the fused Pallas DP + backtrack.  The x / lane
+    pad values are irrelevant (the backtrack only consumes piT[1 .. w-1]
+    and pins fpath to 0 for x >= w-1), but the tpitch pad rows MUST hold
+    BIG: the kernel's sublane rolls would otherwise bridge t = tpitch-1
+    to t = 0 through the pad rows."""
+    from ..kernels.eedi3_pallas import BIG, _chunk_cols, dp_pallas
+
+    tpitch = len(clist)
+    b, l, _ = clist[0].shape
+    bl = b * l
+    blp = -(bl // -128) * 128
+    tp_pad = -(tpitch // -8) * 8
+    xc = _chunk_cols(tp_pad)
+    wp = -(w // -xc) * xc
+    ents = []
+    for c in clist:
+        ct = jnp.transpose(c.reshape(bl, w))
+        ct = jnp.pad(ct, ((0, wp - w), (0, blp - bl)))
+        ents.append(ct[:, None, :])
+    if tp_pad > tpitch:
+        ents.append(jnp.full((wp, tp_pad - tpitch, blp), BIG, jnp.float32))
+    tct = jnp.concatenate(ents, axis=1)
+    fp = dp_pallas(tct, tpitch, hp, float(gamma), w)
+    return jnp.transpose(fp[:w, :bl]).reshape(b, l, w)
+
+
 @partial(jax.jit, static_argnums=(3, 4, 5, 6))
 def _interp_all(rows4, mask, scp_dummy, params, hp: bool, w: int, use_mask: bool):
     (mdis, nrad, alpha, beta, gamma, one_minus_ab) = params
     r3p, r1p, r1n, r3n = [_pad_rows(r) for r in rows4]
     bm = _build_bmask(mask, mdis) if use_mask else None
     if hp:
-        tc = _costs_hp(r3p, r1p, r1n, r3n, mdis, nrad, alpha, beta, one_minus_ab)
-    else:
-        tc = _costs_nonhp(r3p, r1p, r1n, r3n, mdis, nrad, alpha, beta,
+        clist = _costs_hp(r3p, r1p, r1n, r3n, mdis, nrad, alpha, beta,
                           one_minus_ab)
-    fpath = _dp(tc, bm, gamma, hp)
+    else:
+        clist = _costs_nonhp(r3p, r1p, r1n, r3n, mdis, nrad, alpha, beta,
+                             one_minus_ab)
+    if bm is None and _dp_on_tpu():
+        fpath = _dp_via_pallas(clist, gamma, hp, w)
+    else:
+        tc = jnp.stack(clist, axis=0)
+        fpath = _dp(tc, bm, gamma, hp)
     if hp:
         out = _output_hp(r3p, r1p, r1n, r3n, fpath, w, bm, mdis)
     else:
