@@ -54,8 +54,10 @@ def _h_strip_layout(w: int, radius: int):
     ro = 0
     for c0 in range(0, w, 128):
         c1 = min(c0 + 128, w)
-        a0 = max((c0 - r) // 128 * 128, 0)
-        a1 = min(-((c1 + r) // -128) * 128, w)
+        # 16-aligned (bf16 sublane tile) contraction bounds: a 128-aligned
+        # segment made the MXU contract ~384 rows for a 2r+1-wide band
+        a0 = max((c0 - r) // 16 * 16, 0)
+        a1 = min(-((c1 + r) // -16) * 16, w)
         layout.append((c0, c1, a0, a1, ro))
         ro += a1 - a0
     return layout, ro
@@ -472,6 +474,187 @@ def rt_blur_v_pallas(x, radius: int, tile_h: int = 256):
         out_specs=pl.BlockSpec((1, th, w), lambda i, j: (i, j, zero),
                                memory_space=pltpu.VMEM),
     )(x, x, x, aux)
+
+
+def _v_window_sums(cur, s0, radius: int, hgt: int, wide: bool):
+    """Duplicate-edge vertical window sums of a VMEM slab whose position s
+    holds global row s0 + s (rows outside [0, hgt) hold garbage and carry
+    zero weight).  Band matmuls per 64-row strip."""
+    r = radius
+    L, w = cur.shape
+    hp = min(-((r + 1) // -16) * 16, 64)  # strip halo, bf16-tile rounded
+    lo16 = (cur & jnp.int32(255)).astype(jnp.bfloat16)
+    hi16 = (cur >> 8).astype(jnp.bfloat16) if wide else None
+    strips = []
+    for st in range(L // 64):
+        seg_lo = max(st * 64 - hp, 0)
+        seg_hi = min(st * 64 + 64 + hp, L)
+        gs = jax.lax.broadcasted_iota(jnp.int32, (64, 1), 0) + (
+            s0 + jnp.int32(st * 64))
+        v = jax.lax.broadcasted_iota(
+            jnp.int32, (64, seg_hi - seg_lo), 1) + (s0 + jnp.int32(seg_lo))
+        wgt = _sym_weights(gs, v, jnp.int32(0), jnp.int32(hgt), r, hgt)
+        acc = _mm16(wgt, jax.lax.slice(lo16, (seg_lo, 0), (seg_hi, w)))
+        if wide:
+            acc = acc + _mm16(
+                wgt, jax.lax.slice(hi16, (seg_lo, 0), (seg_hi, w))
+            ) * jnp.float32(256.0)
+        strips.append(acc.astype(jnp.int32))
+    return strips[0] if len(strips) == 1 else jnp.concatenate(strips, axis=0)
+
+
+_TOPH = 128  # top-of-plane chain height for the fused multi-pass V kernel
+
+
+def _rt_v_multi_kernel(main_ref, *rest, radius: int, passes: int, hgt: int,
+                       th: int, kblk: int, inv: int, inv2: int, wide: bool):
+    """All vertical passes fused on one VMEM slab (reference runs each pass
+    as a separate plane sweep, src/filters/boxblur_runtime.zig vblur; here
+    pass p's output feeds pass p+1 without touching HBM).
+
+    The slab lives in VIRTUAL global row coordinates [s0, s0 + L) with
+    s0 = i0 - kblk*64 (may extend past either plane edge).  Positions whose
+    nominal row is outside [0, hgt) hold garbage (clamped / partial-block
+    views), but every weight is masked to source rows in [0, hgt) and the
+    duplicate-edge mirror closes windows at the plane edges, so garbage can
+    only reach output positions that are themselves outside [0, hgt) or
+    inside the kblk*64 >= passes*radius halo that is never stored.
+
+    The reference's fixed point is the running scheme
+    ``out = (C0 + inv2*(W - W0)) >> 16`` anchored at the PLANE's row 0, and
+    each pass's W0 depends on the previous pass's output there — so every
+    block also carries a (TOPH, w) top-of-plane chain (cheap: 2 strips per
+    pass) to reproduce W0/C0 exactly."""
+    heads = rest[: kblk]
+    tails = rest[kblk : 2 * kblk]
+    top_ref = rest[2 * kblk]
+    o_ref = rest[2 * kblk + 1]
+    r = radius
+    w = main_ref.shape[-1]
+    i0 = pl.program_id(1) * jnp.int32(th)
+    s0 = i0 - jnp.int32(kblk * 64)
+
+    cur = jnp.concatenate(
+        [h[0].astype(jnp.int32) for h in heads]
+        + [main_ref[0].astype(jnp.int32)]
+        + [t[0].astype(jnp.int32) for t in tails],
+        axis=0,
+    )  # (L, w) i32, slab position s <-> global row s0 + s
+    top = top_ref[0].astype(jnp.int32)  # (TOPH, w), global rows [0, TOPH)
+    for _ in range(passes):
+        tw = _v_window_sums(top, jnp.int32(0), r, hgt, wide)
+        w0 = jax.lax.slice(tw, (0, 0), (1, w))
+        c0h, c0l = _c0_u32(w0, inv)
+        top = _fixed_out(tw - w0, c0h, c0l, inv2)
+        wsum = _v_window_sums(cur, s0, r, hgt, wide)
+        cur = _fixed_out(wsum - w0, c0h, c0l, inv2)
+    o_ref[0] = cur[kblk * 64 : kblk * 64 + th].astype(o_ref.dtype)
+
+
+def _rt_v_multi_whole_kernel(x_ref, o_ref, *, radius: int, passes: int,
+                             hgt: int, inv: int, inv2: int, wide: bool):
+    """Whole-plane variant: the slab IS the plane, so there is no halo
+    redundancy and the W0/C0 anchor (plane row 0) is in-slab — the matmul
+    count equals `passes` independent single-pass kernels while HBM sees
+    one read and one write."""
+    cur = x_ref[0].astype(jnp.int32)
+    w = cur.shape[-1]
+    for _ in range(passes):
+        wsum = _v_window_sums(cur, jnp.int32(0), radius, hgt, wide)
+        w0 = jax.lax.slice(wsum, (0, 0), (1, w))
+        c0h, c0l = _c0_u32(w0, inv)
+        cur = _fixed_out(wsum - w0, c0h, c0l, inv2)
+    o_ref[0] = cur.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def rt_blur_v_multi_pallas(x, radius: int, passes: int, tile_h: int = 256):
+    """All `passes` runtime-path vertical passes in one kernel (one HBM
+    round trip), bit-exact to `passes` sequential jnp running-sum passes.
+    Requires passes * radius <= 128.  x: (N, H, W) uint8/uint16."""
+    n, h, w = x.shape
+    # whole-plane path: slab + byte splits + window sums in VMEM; i32 slab
+    # at 4 B/px plus two bf16 splits and the i32 sums ~= 20 B/px
+    if (h + ((-h) % 64)) * w * 20 <= 64 * 1024 * 1024:
+        hpad = (-h) % 64
+        xp = x
+        if hpad:
+            xp = jnp.concatenate(
+                [x, jnp.zeros((n, hpad, w), x.dtype)], axis=1)
+        r = radius
+        ksize = 2 * r + 1
+        kern = functools.partial(
+            _rt_v_multi_whole_kernel, radius=r, passes=passes, hgt=h,
+            inv=((1 << 32) + r) // ksize, inv2=(((1 << 32) + r) // ksize) >> 16,
+            wide=(x.dtype.itemsize == 2),
+        )
+        zero = np.int32(0)
+        out = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((n, h + hpad, w), x.dtype),
+            grid=(n,),
+            in_specs=[pl.BlockSpec((1, h + hpad, w), lambda i: (i, zero, zero),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, h + hpad, w), lambda i: (i, zero, zero),
+                                   memory_space=pltpu.VMEM),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(xp)
+        return out[:, :h, :] if hpad else out
+    r = radius
+    ksize = 2 * r + 1
+    inv = ((1 << 32) + r) // ksize
+    th = _pick_tile(h, tile_h)
+    kblk = -((passes * r) // -64)
+    assert kblk <= 2, "fused multi-pass V needs passes*radius <= 128"
+    # the top-of-plane W0 chain needs r+1 valid rows after passes-1 shrinks
+    assert min(h, _TOPH) >= passes * r + 1, "plane too short for W0 chain"
+    num_blocks = pl.cdiv(h, th)
+    q = np.int32(th // 64)
+    # last 64-row block index that still contains row h-1
+    qmx = np.int32((h - 1) // 64)
+    zero = np.int32(0)
+
+    kern = functools.partial(
+        _rt_v_multi_kernel, radius=r, passes=passes, hgt=h, th=th,
+        kblk=kblk, inv=inv, inv2=inv >> 16, wide=(x.dtype.itemsize == 2),
+    )
+    head_specs = [
+        pl.BlockSpec(
+            (1, 64, w),
+            functools.partial(
+                lambda i, j, k: (i, jnp.maximum(j * q - np.int32(k), zero),
+                                 zero),
+                k=kblk - v,
+            ),
+            memory_space=pltpu.VMEM,
+        )
+        for v in range(kblk)
+    ]
+    tail_specs = [
+        pl.BlockSpec(
+            (1, 64, w),
+            functools.partial(
+                lambda i, j, k: (i, jnp.minimum(j * q + q + np.int32(k), qmx),
+                                 zero),
+                k=v,
+            ),
+            memory_space=pltpu.VMEM,
+        )
+        for v in range(kblk)
+    ]
+    top_spec = pl.BlockSpec((1, _TOPH, w), lambda i, j: (i, zero, zero),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n, h, w), x.dtype),
+        grid=(n, num_blocks),
+        in_specs=[pl.BlockSpec((1, th, w), lambda i, j: (i, j, zero),
+                               memory_space=pltpu.VMEM)]
+        + head_specs + tail_specs + [top_spec],
+        out_specs=pl.BlockSpec((1, th, w), lambda i, j: (i, j, zero),
+                               memory_space=pltpu.VMEM),
+    )(x, *([x] * (2 * kblk + 1)))
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))

@@ -190,9 +190,19 @@ def _rt_blur(x, hradius: int, hpasses: int, vradius: int, vpasses: int,
         else:
             for _ in range(hpasses):
                 x = blur1d(x, hradius, axis=2)
-    if vradius > 0:
-        for _ in range(max(vpasses, 0)):
-            x = blur1d(x, vradius, axis=1)
+    if vradius > 0 and vpasses > 0:
+        if (is_int and vpasses > 1 and vradius <= 22
+                and vpasses * vradius <= 128 and x.ndim == 3
+                and min(x.shape[1], 128) >= vpasses * vradius + 1
+                and x.shape[1] >= 64 and _on_tpu()):
+            # all V passes fused on one VMEM slab: one HBM round trip
+            # instead of one per pass
+            from ..kernels.boxblur_pallas import rt_blur_v_multi_pallas
+
+            x = rt_blur_v_multi_pallas(x, vradius, vpasses)
+        else:
+            for _ in range(vpasses):
+                x = blur1d(x, vradius, axis=1)
     return x
 
 
