@@ -1,0 +1,236 @@
+"""Fully fused Pallas TPU kernel for EEDI3's per-line pipeline (non-hp).
+
+Reference: src/filters/eedi3.zig interpLine (cost matrix -> Viterbi DP ->
+backtrack -> directional 4-tap interpolation).  The XLA formulation
+materializes the (tpitch, B, L, W) cost tensor (~2.7 GB at the benchmark
+shape) in HBM, scans it, and re-reads padded rows 41 times for the
+directional selects; this kernel keeps everything for a block of lines in
+VMEM: the cost matrix (f32) and backtrack matrix (i8) never touch HBM.
+
+Layout: lines ride the lane axis (NL per block), the x axis rides
+sublanes, so every direction/window shift in the cost build and every
+directional tap in the interpolation is a static sublane slice, and the
+x-sequential DP is a fori_loop whose state is a (TPP, NL) register tile.
+
+Bit-exactness: every f32 expression mirrors the XLA path's operation
+order (`ops/eedi3.py _costs_nonhp/_dp/_output_nonhp`); selects are one-hot
+sums whose masked terms are exact zeros, so no rounding is introduced.
+The x axis is padded to an 8-step multiple; backtrack deltas for padded
+steps (x >= w) are forced to zero so the walk enters x = w-1 with f = 0,
+exactly like a w-length backtrack.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BIG = np.float32(np.finfo(np.float32).max * 0.9)  # FLT_MAX_09
+PAD = 96  # must match ops/eedi3.py PAD
+_XC = 8  # DP steps per chunk (sublane tile)
+
+
+def _fused_kernel(r3p_ref, r1p_ref, r1n_ref, r3n_ref, o_ref, fp_ref,
+                  costs_ref, piT_ref, fpath_ref, *, w: int, wk: int,
+                  mdis: int, nrad: int, alpha: float, beta: float,
+                  omab: float, gamma: float, nl: int):
+    tp = 2 * mdis + 1
+    tpp = costs_ref.shape[0]
+    wpp = wk + 2 * PAD
+    ext = 2 * mdis
+    xc = _XC
+
+    r3p = r3p_ref[...]
+    r1p = r1p_ref[...]
+    r1n = r1n_ref[...]
+    r3n = r3n_ref[...]
+
+    # ---- cost build: one (wk, NL) tile per direction u ----
+    zext = jnp.zeros((ext, nl), jnp.float32)
+    r1p_e = jnp.concatenate([zext, r1p, zext], axis=0)
+    r1n_e = jnp.concatenate([zext, r1n, zext], axis=0)
+    r3n_e = jnp.concatenate([zext, r3n, zext], axis=0)
+
+    def sh(x_e, t):  # value at padded position j - t (zero beyond)
+        return jax.lax.slice(x_e, (ext - t, 0), (ext - t + wpp, nl))
+
+    def at(x_p, off):  # padded row at data offset `off`, (wk, NL)
+        return jax.lax.slice(x_p, (PAD + off, 0), (PAD + off + wk, nl))
+
+    # scratch x layout: data x lives at scratch row x + 7, so the DP's
+    # dynamic chunk reads (x = 1 + c*8 .. +8) hit 8-aligned sublanes
+    for u in range(-mdis, mdis + 1):
+        tu = 2 * u
+        tb = (jnp.abs(r3p - sh(r1p_e, tu))
+              + jnp.abs(r1p - sh(r1n_e, tu))
+              + jnp.abs(r1n - sh(r3n_e, tu)))
+
+        def tb_at(off):
+            return jax.lax.slice(tb, (PAD + off, 0), (PAD + off + wk, nl))
+
+        s = None
+        for k in range(-nrad, nrad + 1):
+            term = tb_at(k + u) + tb_at(k) + tb_at(k + tu)
+            s = term if s is None else s + term
+        ip = (at(r1p, u) + at(r1n, -u)) * jnp.float32(0.5)
+        v = jnp.abs(at(r1p, 0) - ip) + jnp.abs(at(r1n, 0) - ip)
+        cost_u = (jnp.float32(alpha) * s + jnp.float32(beta * abs(u))
+                  + jnp.float32(omab) * v)
+        costs_ref[u + mdis, 7 : 7 + wk, :] = cost_u
+    for t in range(tp, tpp):
+        costs_ref[t] = jnp.full((wk + 7, nl), BIG, jnp.float32)
+
+    # ---- DP forward (x = 1 .. wk-1), xc steps per chunk ----
+    pcost0 = costs_ref[:, 7, :]  # cost at x=0; pad rows hold BIG
+    nchunks = (wk - 1) // xc
+    gam = jnp.float32(gamma)
+    big1 = jnp.full((1, nl), BIG, jnp.float32)
+
+    def step(pcost, tcx):
+        pcat = jnp.concatenate([big1, pcost, big1], axis=0)
+        left = jax.lax.slice(pcat, (0, 0), (tpp, nl)) + gam
+        cent = jax.lax.slice(pcat, (1, 0), (tpp + 1, nl))
+        right = jax.lax.slice(pcat, (2, 0), (tpp + 2, nl)) + gam
+        lw = left < cent
+        bval = jnp.where(lw, left, cent)
+        # Mosaic's i8 lowering recurses on this backend: keep the backtrack
+        # delta in i32 and 2-bit-pack the chunk's xc steps into ONE word
+        bd = jnp.where(lw, jnp.int32(0), jnp.int32(1))  # delta + 1
+        rw = right < bval
+        bval = jnp.where(rw, right, bval)
+        bd = jnp.where(rw, jnp.int32(2), bd)
+        return jnp.minimum(bval + tcx, BIG), bd
+
+    def fwd_chunk(c, pcost):
+        s0 = jnp.int32(8) + c * jnp.int32(xc)  # row of x0 = 1 + c*xc
+        tcs = costs_ref[:, pl.ds(s0, xc), :]  # (TPP, xc, NL)
+        word = jnp.zeros((tpp, nl), jnp.int32)
+        for k in range(xc):
+            pcost, bd = step(pcost, tcs[:, k, :])
+            # padded steps (x >= w) must contribute zero backtrack delta
+            bd = jnp.where(
+                jnp.int32(1 + k) + c * jnp.int32(xc) < jnp.int32(w),
+                bd, jnp.int32(1))
+            word = word | (bd << (2 * k))
+        piT_ref[c] = word
+        return pcost
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(nchunks), fwd_chunk,
+                      pcost0)
+
+    # ---- backtrack (reverse): fpath[x] = f(x+1) + piT[x+1][mdis+f(x+1)] ----
+    # f stays in f32 (exact for |f| <= mdis): cross-sublane i32 reduces and
+    # narrow-int converts both hit Mosaic lowering gaps on this backend
+    trow = jax.lax.broadcasted_iota(
+        jnp.int32, (tpp, nl), 0).astype(jnp.float32)
+
+    def back_chunk(ci, f):
+        c = jnp.int32(nchunks - 1) - ci
+        word = piT_ref[c]  # (TPP, NL) i32, 2 bits per step
+        fs = []
+        for k in reversed(range(xc)):
+            onehot = trow == (f + jnp.float32(mdis))  # f is (1, NL) f32
+            dd = (((word >> (2 * k)) & jnp.int32(3))
+                  - jnp.int32(1)).astype(jnp.float32)
+            delta = jnp.sum(jnp.where(onehot, dd, 0.0),
+                            axis=0, keepdims=True)
+            f = f + delta
+            fs.append(f)
+        fpath_ref[pl.ds(c * jnp.int32(xc), xc)] = jnp.concatenate(
+            fs[::-1], axis=0)
+        return f
+
+    f0 = jnp.zeros((1, nl), jnp.float32)
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(nchunks), back_chunk, f0)
+    fpath_ref[wk - 1 : wk] = jnp.zeros((1, nl), jnp.float32)
+
+    # ---- directional interpolation (one-hot over fv, masks shared) ----
+    fpath = fpath_ref[...].astype(jnp.int32)
+    zero = jnp.zeros((wk, nl), jnp.float32)
+    g1p = g1n = g3p = g3n = zero
+    for fv in range(-mdis, mdis + 1):
+        m = fpath == fv
+        g1p = g1p + jnp.where(m, at(r1p, fv), 0.0)
+        g1n = g1n + jnp.where(m, at(r1n, -fv), 0.0)
+        g3p = g3p + jnp.where(m, at(r3p, 3 * fv), 0.0)
+        g3n = g3n + jnp.where(m, at(r3n, -3 * fv), 0.0)
+    four_tap = (jnp.float32(0.5625) * (g1p + g1n)
+                - jnp.float32(0.0625) * (g3p + g3n))
+    two_tap = (g1p + g1n) * jnp.float32(0.5)
+    ad3 = jnp.abs(fpath) * 3
+    xs = jax.lax.broadcasted_iota(jnp.int32, (wk, nl), 0)
+    ok = (xs >= ad3) & (xs + ad3 <= w - 1)
+    o_ref[...] = jnp.where(ok, four_tap, two_tap)
+    fp_ref[...] = fpath
+
+
+def _nl_for(w: int) -> int:
+    """Lines per block: big enough to amortize the DP's per-step overhead,
+    small enough that costs (f32) + piT (i8) fit VMEM comfortably."""
+    budget = 72 * 1024 * 1024
+    per = max(w, 1) * (48 * 4 + 64)  # f32 costs + i8 piT per (x, lane)
+    nl = budget // per
+    return int(max(128, min(512, nl // 128 * 128)))
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
+def eedi3_fused_pallas(r3p, r1p, r1n, r3n, w: int, mdis: int, nrad: int,
+                       alpha: float, beta: float, gamma: float):
+    """Fused cost+DP+backtrack+interp.  Inputs: (B, L, w + 2*PAD) f32
+    padded rows.  Returns (out, fpath): (B, L, w) f32 / i32."""
+    b, l, wp = r3p.shape
+    assert wp == w + 2 * PAD
+    omab = 1.0 - alpha - beta
+    tp = 2 * mdis + 1
+    tpp = -(tp // -8) * 8
+    bl = b * l
+    nl = _nl_for(w)
+    blp = -(bl // -nl) * nl
+    wk = -((w - 1) // -_XC) * _XC + 1  # wk-1 divisible by the chunk size
+
+    def tr(r):
+        rt = jnp.transpose(r.reshape(bl, wp))
+        if blp > bl:
+            rt = jnp.pad(rt, ((0, 0), (0, blp - bl)))
+        if wk > w:
+            rt = jnp.pad(rt, ((0, wk - w), (0, 0)))
+        return rt
+
+    rows = [tr(r) for r in (r3p, r1p, r1n, r3n)]
+    wpp = wk + 2 * PAD
+    nb = blp // nl
+
+    kern = functools.partial(
+        _fused_kernel, w=w, wk=wk, mdis=mdis, nrad=nrad, alpha=alpha,
+        beta=beta, omab=omab, gamma=gamma, nl=nl,
+    )
+    zero = np.int32(0)
+    in_spec = pl.BlockSpec((wpp, nl), lambda i: (zero, i),
+                           memory_space=pltpu.VMEM)
+    out_specs = [
+        pl.BlockSpec((wk, nl), lambda i: (zero, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((wk, nl), lambda i: (zero, i), memory_space=pltpu.VMEM),
+    ]
+    out, fp = pl.pallas_call(
+        kern,
+        out_shape=(jax.ShapeDtypeStruct((wk, blp), jnp.float32),
+                   jax.ShapeDtypeStruct((wk, blp), jnp.int32)),
+        grid=(nb,),
+        in_specs=[in_spec] * 4,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((tpp, wk + 7, nl), jnp.float32),  # costs (x at row x+7)
+            pltpu.VMEM(((wk - 1) // _XC, tpp, nl), jnp.int32),  # packed piT
+            pltpu.VMEM((wk, nl), jnp.float32),           # fpath (small ints)
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(*rows)
+    out = jnp.transpose(out[:w, :bl]).reshape(b, l, w)
+    fp = jnp.transpose(fp[:w, :bl]).reshape(b, l, w)
+    return out, fp

@@ -79,8 +79,15 @@ def _take_pad(row, off: int):
 
 
 def _pad_rows(rows):
-    """(B, L, w) -> (B, L, w + 2*PAD) via the mirror cascade table."""
+    """(B, L, w) -> (B, L, w + 2*PAD) via the mirror cascade.  For w > PAD+1
+    the cascade is a single reflection each side, expressible as reversed
+    slices (fuses; the gather form cost ~40 ms/step at the benchmark shape);
+    smaller widths wrap multiple times and keep the index-table gather."""
     w = rows.shape[-1]
+    if w > PAD + 1:
+        left = jnp.flip(rows[..., 1 : PAD + 1], axis=-1)
+        right = jnp.flip(rows[..., w - 1 - PAD : w - 1], axis=-1)
+        return jnp.concatenate([left, rows, right], axis=-1)
     return jnp.take(rows, jnp.asarray(_pad_idx(w)), axis=-1)
 
 
@@ -493,6 +500,15 @@ def _interp_all(rows4, mask, scp_dummy, params, hp: bool, w: int, use_mask: bool
     (mdis, nrad, alpha, beta, gamma, one_minus_ab) = params
     r3p, r1p, r1n, r3n = [_pad_rows(r) for r in rows4]
     bm = _build_bmask(mask, mdis) if use_mask else None
+    if bm is None and not hp and _dp_on_tpu():
+        # fully fused kernel: cost build + DP + backtrack + interpolation in
+        # VMEM (the 41-direction cost tensor never touches HBM)
+        from ..kernels.eedi3_fused_pallas import eedi3_fused_pallas
+
+        out, fpath = eedi3_fused_pallas(
+            r3p, r1p, r1n, r3n, w, mdis, nrad,
+            float(alpha), float(beta), float(gamma))
+        return out, fpath
     if hp:
         clist = _costs_hp(r3p, r1p, r1n, r3n, mdis, nrad, alpha, beta,
                           one_minus_ab)
