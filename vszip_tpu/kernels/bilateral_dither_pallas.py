@@ -56,31 +56,13 @@ def _dense_kernel(m0_ref, t0_ref, m1_ref, t1_ref, o_ref, *, rh: int, rv: int,
     cen_ref = (jax.lax.slice(rslab, (rv, rh), (rv + th, rh + w))
                if has_ref else cen)
 
-    # Incremental constant-shift rolls: the row loop advances the slab one
-    # sublane per dy, the column loop advances a (th, wp) view one lane per
-    # dx, and each tap is then a static corner slice.  Equivalent data
-    # movement to per-tap slices, but loop-based — a fully unrolled
-    # static-slice form sent Mosaic's compile time to minutes.  Accumulation
-    # order matches the reference's (dy, dx) row-major order, so f32 sums
-    # stay bit-identical.
+    # The row loop advances the slab one sublane per dy (a dynamic roll);
+    # the column taps are STATIC lane slices of the advanced view, unrolled
+    # in the loop body (2rh-1 slices compile once for all dy iterations —
+    # the earlier per-tap lane roll moved the whole (th, wp) view 2rh-1
+    # times per row).  Accumulation order matches the reference's (dy, dx)
+    # row-major order, so f32 sums stay bit-identical.
     zeros = jnp.zeros((th, w), jnp.float32)
-
-    def dx_body(dx, c2):
-        if has_ref:
-            s, sw, cs, crs = c2
-        else:
-            s, sw, cs = c2
-        cs = pltpu.roll(cs, jnp.int32(wp - 1), 1)
-        if has_ref:
-            crs = pltpu.roll(crs, jnp.int32(wp - 1), 1)
-        v = jax.lax.slice(cs, (0, 0), (th, w))
-        vr = jax.lax.slice(crs, (0, 0), (th, w)) if has_ref else v
-        wgt = jnp.maximum(
-            jnp.minimum(jnp.float32(m) - jnp.abs(vr - cen_ref),
-                        jnp.float32(wmax)), 0.0)
-        s = s + (v - cen) * wgt
-        sw = sw + wgt
-        return (s, sw, cs, crs) if has_ref else (s, sw, cs)
 
     def dy_body(dy, carry):
         if has_ref:
@@ -90,15 +72,14 @@ def _dense_kernel(m0_ref, t0_ref, m1_ref, t1_ref, o_ref, *, rh: int, rv: int,
         rs = pltpu.roll(rs, jnp.int32(nslab - 1), 0)
         if has_ref:
             rrs = pltpu.roll(rrs, jnp.int32(nslab - 1), 0)
-        cs = jax.lax.slice(rs, (0, 0), (th, wp))
-        if has_ref:
-            crs = jax.lax.slice(rrs, (0, 0), (th, wp))
-            inner = (s, sw, cs, crs)
-        else:
-            inner = (s, sw, cs)
-        inner = jax.lax.fori_loop(jnp.int32(1), jnp.int32(2 * rh), dx_body,
-                                  inner)
-        s, sw = inner[0], inner[1]
+        for dx in range(1, 2 * rh):
+            v = jax.lax.slice(rs, (0, dx), (th, dx + w))
+            vr = jax.lax.slice(rrs, (0, dx), (th, dx + w)) if has_ref else v
+            wgt = jnp.maximum(
+                jnp.minimum(jnp.float32(m) - jnp.abs(vr - cen_ref),
+                            jnp.float32(wmax)), 0.0)
+            s = s + (v - cen) * wgt
+            sw = sw + wgt
         return (s, sw, rs, rrs) if has_ref else (s, sw, rs)
 
     init = (zeros, zeros, slab, rslab) if has_ref else (zeros, zeros, slab)
@@ -264,11 +245,11 @@ def subspl_blur_pallas(xpad, rpad_or_none, list_plane, dyx, rh: int, rv: int,
     _, nbr, k = dyx.shape
     # static offsets allow the fully-unrolled static-slice form; cap the
     # unroll so giant configurations keep the bounded roll loop
-    # Mosaic compile time grows superlinearly with the unroll size; beyond
-    # a few hundred (list, tap) pairs the bounded roll loop wins on wall
-    # clock even though it moves more data per tap
+    # Mosaic compile time grows superlinearly with the unroll size, but the
+    # static form is ~8x faster per tap (r16 default: 147 -> ~600 fps), so
+    # the cap sits well above the default r=16 config's 23*30 pairs
     pts = None
-    if static_pts is not None and nbr * k <= 400:
+    if static_pts is not None and nbr * k <= 800:
         pts = static_pts
     kern = functools.partial(
         _subspl_kernel, nbr=nbr, k=k, rh=rh, rv=rv, m=m, wmax=wmax,
