@@ -234,3 +234,249 @@ def eedi3_fused_pallas(r3p, r1p, r1n, r3n, w: int, mdis: int, nrad: int,
     out = jnp.transpose(out[:w, :bl]).reshape(b, l, w)
     fp = jnp.transpose(fp[:w, :bl]).reshape(b, l, w)
     return out, fp
+
+
+def _fused_kernel_hp(r3p_ref, r1p_ref, r1n_ref, r3n_ref, o_ref, fp_ref,
+                     costs_ref, piT_ref, fpath_ref, *, w: int, wk: int,
+                     mdis: int, nrad: int, alpha: float, beta: float,
+                     omab: float, gamma: float, nl: int):
+    """Half-pel variant (reference interpLineHP): 4*mdis+1 directions over
+    full- and half-pel rows, +-2 DP transitions (3-bit-packed backtrack),
+    8-tap directional interpolation with even/odd sub-pel blending."""
+    cen = 2 * mdis
+    tp = 2 * cen + 1
+    tpp = costs_ref.shape[0]
+    wpp = wk + 2 * PAD
+    ext = cen
+    xc = _XC
+
+    r3p = r3p_ref[...]
+    r1p = r1p_ref[...]
+    r1n = r1n_ref[...]
+    r3n = r3n_ref[...]
+
+    def hp_row(a):
+        # computeHpRow: out[j] = .5625*(a[j]+a[j+1]) - .0625*(a[j-1]+a[j+2]);
+        # row ends are never read by in-range cost/interp offsets
+        z2 = jnp.zeros((2, nl), jnp.float32)
+        a_e = jnp.concatenate([z2, a, z2], axis=0)
+
+        def att(t):
+            return jax.lax.slice(a_e, (2 + t, 0), (2 + t + wpp, nl))
+
+        return (jnp.float32(0.5625) * (a + att(1))
+                - jnp.float32(0.0625) * (att(-1) + att(2)))
+
+    hpA, hpB, hpC, hpD = (hp_row(r) for r in (r3p, r1p, r1n, r3n))
+
+    zext = jnp.zeros((ext, nl), jnp.float32)
+
+    def extend(x):
+        return jnp.concatenate([zext, x, zext], axis=0)
+
+    r1p_e, r1n_e, r3n_e = extend(r1p), extend(r1n), extend(r3n)
+    hpB_e, hpC_e, hpD_e = extend(hpB), extend(hpC), extend(hpD)
+
+    def sh(x_e, t):
+        return jax.lax.slice(x_e, (ext - t, 0), (ext - t + wpp, nl))
+
+    def at(x_p, off):
+        return jax.lax.slice(x_p, (PAD + off, 0), (PAD + off + wk, nl))
+
+    for u in range(-cen, cen + 1):
+        uh = u >> 1
+        odd = (u & 1) != 0
+        lo0 = (-uh - 1) if odd else -uh
+        B0, C0 = (hpB, hpC) if odd else (r1p, r1n)
+        base_m = (jnp.abs(r3p - sh(r1p_e, u))
+                  + jnp.abs(r1p - sh(r1n_e, u))
+                  + jnp.abs(r1n - sh(r3n_e, u)))
+        if odd:
+            base0 = (jnp.abs(hpA - sh(hpB_e, u))
+                     + jnp.abs(hpB - sh(hpC_e, u))
+                     + jnp.abs(hpC - sh(hpD_e, u)))
+        else:
+            base0 = base_m
+
+        def b_at(b, off):
+            return jax.lax.slice(b, (PAD + off, 0), (PAD + off + wk, nl))
+
+        s0 = s1 = s2 = None
+        for k in range(-nrad, nrad + 1):
+            t1 = b_at(base_m, k)
+            t2 = b_at(base_m, u + k)
+            t0 = b_at(base0, uh + k)
+            s1 = t1 if s1 is None else s1 + t1
+            s2 = t2 if s2 is None else s2 + t2
+            s0 = t0 if s0 is None else s0 + t0
+        ip = (at(B0, uh) + at(C0, lo0)) * jnp.float32(0.5)
+        v = jnp.abs(at(r1p, 0) - ip) + jnp.abs(at(r1n, 0) - ip)
+        cost_u = (jnp.float32(alpha) * (s0 + s1 + s2)
+                  + jnp.float32(beta * abs(u) * 0.5) + jnp.float32(omab) * v)
+        costs_ref[u + cen, 7 : 7 + wk, :] = cost_u
+    for t in range(tp, tpp):
+        costs_ref[t] = jnp.full((wk + 7, nl), BIG, jnp.float32)
+
+    # ---- DP forward: 5 transitions, 3-bit-packed backtrack (bd + 2) ----
+    pcost0 = costs_ref[:, 7, :]
+    nchunks = (wk - 1) // xc
+    big2 = jnp.full((2, nl), BIG, jnp.float32)
+    gammas = (gamma, gamma * 0.5, 0.0, gamma * 0.5, gamma)
+
+    def step(pcost, tcx):
+        pcat = jnp.concatenate([big2, pcost, big2], axis=0)
+        bval = jax.lax.slice(pcat, (0, 0), (tpp, nl)) + jnp.float32(gammas[0])
+        bd = jnp.full((tpp, nl), jnp.int32(0))  # delta -2 -> code 0
+        for i, g in enumerate(gammas[1:], start=1):
+            cv = jax.lax.slice(pcat, (i, 0), (i + tpp, nl))
+            if g:
+                cv = cv + jnp.float32(g)
+            m = cv < bval
+            bval = jnp.where(m, cv, bval)
+            bd = jnp.where(m, jnp.int32(i), bd)
+        return jnp.minimum(bval + tcx, BIG), bd
+
+    def fwd_chunk(c, pcost):
+        s0 = jnp.int32(8) + c * jnp.int32(xc)
+        tcs = costs_ref[:, pl.ds(s0, xc), :]
+        word = jnp.zeros((tpp, nl), jnp.int32)
+        for k in range(xc):
+            pcost, bd = step(pcost, tcs[:, k, :])
+            bd = jnp.where(
+                jnp.int32(1 + k) + c * jnp.int32(xc) < jnp.int32(w),
+                bd, jnp.int32(2))  # delta 0
+            word = word | (bd << (3 * k))
+        piT_ref[c] = word
+        return pcost
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(nchunks), fwd_chunk, pcost0)
+
+    # ---- backtrack (f32 path values, see non-hp kernel) ----
+    trow = jax.lax.broadcasted_iota(
+        jnp.int32, (tpp, nl), 0).astype(jnp.float32)
+
+    def back_chunk(ci, f):
+        c = jnp.int32(nchunks - 1) - ci
+        word = piT_ref[c]
+        fs = []
+        for k in reversed(range(xc)):
+            onehot = trow == (f + jnp.float32(cen))
+            dd = (((word >> (3 * k)) & jnp.int32(7))
+                  - jnp.int32(2)).astype(jnp.float32)
+            delta = jnp.sum(jnp.where(onehot, dd, 0.0),
+                            axis=0, keepdims=True)
+            f = f + delta
+            fs.append(f)
+        fpath_ref[pl.ds(c * jnp.int32(xc), xc)] = jnp.concatenate(
+            fs[::-1], axis=0)
+        return f
+
+    f0 = jnp.zeros((1, nl), jnp.float32)
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(nchunks), back_chunk, f0)
+    fpath_ref[wk - 1 : wk] = jnp.zeros((1, nl), jnp.float32)
+
+    # ---- 8-tap interpolation, one-hot over fv (masks shared) ----
+    fpath = fpath_ref[...].astype(jnp.int32)
+    zero = jnp.zeros((wk, nl), jnp.float32)
+    g1p_e = g1n_e = g3p_e = g3n_e = zero
+    g3p_o = g1p_o = g1n_o = g3n_o = zero
+    for fv in range(-cen, cen + 1):
+        m = fpath == fv
+        g1p_e = g1p_e + jnp.where(m, at(r1p, fv >> 1), 0.0)
+        g1n_e = g1n_e + jnp.where(m, at(r1n, -(fv >> 1)), 0.0)
+        g3p_e = g3p_e + jnp.where(m, at(r3p, (3 * fv) >> 1), 0.0)
+        g3n_e = g3n_e + jnp.where(m, at(r3n, -((3 * fv) >> 1)), 0.0)
+        g3p_o = g3p_o + jnp.where(m, at(r3p, (3 * fv + 1) >> 1), 0.0)
+        g1p_o = g1p_o + jnp.where(m, at(r1p, (fv + 1) >> 1), 0.0)
+        g1n_o = g1n_o + jnp.where(m, at(r1n, -((fv + 1) >> 1)), 0.0)
+        g3n_o = g3n_o + jnp.where(m, at(r3n, -((3 * fv + 1) >> 1)), 0.0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (wk, nl), 0)
+    even = (fpath & 1) == 0
+    d2 = fpath >> 1
+    ad_e = jnp.abs(d2)
+    four_e = (jnp.float32(0.5625) * (g1p_e + g1n_e)
+              - jnp.float32(0.0625) * (g3p_e + g3n_e))
+    two_e = (g1p_e + g1n_e) * jnp.float32(0.5)
+    ok_e = (xs >= ad_e * 3) & (xs + ad_e * 3 <= w - 1)
+    out_e = jnp.where(ok_e, four_e, two_e)
+
+    d30 = (3 * fpath) >> 1
+    d31 = (3 * fpath + 1) >> 1
+    ad_o = jnp.maximum(jnp.abs(d30), jnp.abs(d31))
+    c0 = g3p_e + g3p_o
+    c1 = g1p_e + g1p_o
+    c2 = g1n_e + g1n_o
+    c3 = g3n_e + g3n_o
+    four_o = (jnp.float32(0.28125) * (c1 + c2)
+              - jnp.float32(0.03125) * (c0 + c3))
+    two_o = (c1 + c2) * jnp.float32(0.25)
+    ok_o = (xs >= ad_o) & (xs + ad_o <= w - 1)
+    out_o = jnp.where(ok_o, four_o, two_o)
+
+    o_ref[...] = jnp.where(even, out_e, out_o)
+    fp_ref[...] = fpath
+
+
+def _nl_for_hp(w: int) -> int:
+    budget = 72 * 1024 * 1024
+    per = max(w, 1) * (88 * 4 + 8)
+    nl = budget // per
+    return int(max(128, min(512, nl // 128 * 128)))
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
+def eedi3_fused_hp_pallas(r3p, r1p, r1n, r3n, w: int, mdis: int, nrad: int,
+                          alpha: float, beta: float, gamma: float):
+    """Fused hp pipeline.  Inputs: (B, L, w + 2*PAD) f32 padded rows.
+    Returns (out, fpath): (B, L, w) f32 / i32."""
+    b, l, wp = r3p.shape
+    assert wp == w + 2 * PAD
+    omab = 1.0 - alpha - beta
+    tp = 4 * mdis + 1
+    tpp = -(tp // -8) * 8
+    bl = b * l
+    nl = _nl_for_hp(w)
+    blp = -(bl // -nl) * nl
+    wk = -((w - 1) // -_XC) * _XC + 1
+
+    def tr(r):
+        rt = jnp.transpose(r.reshape(bl, wp))
+        if blp > bl:
+            rt = jnp.pad(rt, ((0, 0), (0, blp - bl)))
+        if wk > w:
+            rt = jnp.pad(rt, ((0, wk - w), (0, 0)))
+        return rt
+
+    rows = [tr(r) for r in (r3p, r1p, r1n, r3n)]
+    wpp = wk + 2 * PAD
+    nb = blp // nl
+
+    kern = functools.partial(
+        _fused_kernel_hp, w=w, wk=wk, mdis=mdis, nrad=nrad, alpha=alpha,
+        beta=beta, omab=omab, gamma=gamma, nl=nl,
+    )
+    zero = np.int32(0)
+    in_spec = pl.BlockSpec((wpp, nl), lambda i: (zero, i),
+                           memory_space=pltpu.VMEM)
+    out_specs = [
+        pl.BlockSpec((wk, nl), lambda i: (zero, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((wk, nl), lambda i: (zero, i), memory_space=pltpu.VMEM),
+    ]
+    out, fp = pl.pallas_call(
+        kern,
+        out_shape=(jax.ShapeDtypeStruct((wk, blp), jnp.float32),
+                   jax.ShapeDtypeStruct((wk, blp), jnp.int32)),
+        grid=(nb,),
+        in_specs=[in_spec] * 4,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((tpp, wk + 7, nl), jnp.float32),
+            pltpu.VMEM(((wk - 1) // _XC, tpp, nl), jnp.int32),
+            pltpu.VMEM((wk, nl), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(*rows)
+    out = jnp.transpose(out[:w, :bl]).reshape(b, l, w)
+    fp = jnp.transpose(fp[:w, :bl]).reshape(b, l, w)
+    return out, fp
