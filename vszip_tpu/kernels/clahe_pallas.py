@@ -8,10 +8,13 @@ plane.
 
 Layout: the plane is padded so rows/columns split into half-tile-shifted
 cells (see ops/clahe.py); inside a cell the 4 neighbor-tile LUTs are fixed,
-packed as one i32 per (cell, bin) in SMEM.  The grid walks (frame,
-cell-row-band); per column cell the kernel runs a 256-step select chain
-against the SMEM scalars entirely in VMEM, unpacks the 4 byte planes, and
-blends with the per-row / per-column fractions.
+packed as one i32 per (cell, bin) in SMEM.  Because Mosaic block heights
+must be 8-divisible, each cell-row band is padded to an 8-multiple height
+in HBM (1080p's 135-row tiles become 136-row bands; the pad row computes
+garbage that is sliced away).  The grid walks (frame, cell-row); per
+column cell the kernel runs a 256-step select chain against the SMEM
+scalars entirely in VMEM, unpacks the 4 byte planes, and blends with the
+per-row / per-column fractions.
 """
 
 from __future__ import annotations
@@ -29,7 +32,7 @@ HIST = 256
 
 def _clahe8_kernel(x_ref, tab_ref, ya_ref, xa_ref, o_ref, *, rx_n: int,
                    tile_w: int):
-    ya = ya_ref[0, 0][:, None]  # (tile_h, 1) f32
+    ya = ya_ref[0, 0][:, None]  # (tile_h8, 1) f32
     for rx in range(rx_n):
         c0 = rx * tile_w
         sub = x_ref[0, :, c0 : c0 + tile_w].astype(jnp.int32)
@@ -70,26 +73,46 @@ def clahe8_lookup_pallas(xp2, tab32, ya, xa, tile_h: int, tile_w: int):
     n, hp, wp = xp2.shape
     ry_n = hp // tile_h
     rx_n = wp // tile_w
+    th8 = -(tile_h // -8) * 8
+    lpad = (-wp) % 128
+    wpv = wp + lpad
+
+    xb = xp2.reshape(n, ry_n, tile_h, wp)
+    if th8 > tile_h:
+        xb = jnp.concatenate(
+            [xb, jnp.zeros((n, ry_n, th8 - tile_h, wp), xb.dtype)], axis=2)
+        ya = jnp.concatenate(
+            [ya, jnp.zeros((ry_n, th8 - tile_h), ya.dtype)], axis=1)
+    xb = xb.reshape(n, ry_n * th8, wp)
+    if lpad:
+        xb = jnp.concatenate(
+            [xb, jnp.zeros((n, ry_n * th8, lpad), xb.dtype)], axis=2)
+        xa = jnp.concatenate([xa, jnp.zeros((1, lpad), xa.dtype)], axis=1)
+
     kern = functools.partial(_clahe8_kernel, rx_n=rx_n, tile_w=tile_w)
     zero = np.int32(0)
     # SMEM blocks need an 8-divisible sublane dim: place each band's table
     # in row 0 of an 8-row group
     tab8 = jnp.zeros((n, ry_n * 8, rx_n * HIST), jnp.int32)
     tab8 = tab8.at[:, ::8, :].set(tab32)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((n, hp, wp), xp2.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, ry_n * th8, wpv), xp2.dtype),
         grid=(n, ry_n),
         in_specs=[
-            pl.BlockSpec((1, tile_h, wp), lambda i, j: (i, j, zero),
+            pl.BlockSpec((1, th8, wpv), lambda i, j: (i, j, zero),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, rx_n * HIST), lambda i, j: (i, j, zero),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, tile_h), lambda i, j: (j, zero, zero),
+            pl.BlockSpec((1, 1, th8), lambda i, j: (j, zero, zero),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, wp), lambda i, j: (zero, zero, zero),
+            pl.BlockSpec((1, 1, wpv), lambda i, j: (zero, zero, zero),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tile_h, wp), lambda i, j: (i, j, zero),
+        out_specs=pl.BlockSpec((1, th8, wpv), lambda i, j: (i, j, zero),
                                memory_space=pltpu.VMEM),
-    )(xp2, tab8, ya[:, None], xa[None])
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(xb, tab8, ya[:, None], xa[None])
+    out = out[:, :, :wp].reshape(n, ry_n, th8, wp)[:, :, :tile_h]
+    return out.reshape(n, hp, wp)

@@ -154,8 +154,7 @@ def _clahe_plane(x, limit: int, tiles_x: int, tiles_y: int, bits: int):
 
         from .boxblur import _on_tpu
 
-        if (_on_tpu() and x.dtype == jnp.uint8 and tile_h % 8 == 0
-                and wp % 128 == 0):
+        if _on_tpu() and x.dtype == jnp.uint8:
             # Pallas kernel: the whole select chain + blend runs on the
             # VMEM-resident band (the XLA chain below splits into many
             # kernels that each re-read the padded plane)
