@@ -237,28 +237,3 @@ def test_compress_kernel_matches_xla(interp, codec, kw):
     want = np.asarray(cop._compress_plane(
         jnp.asarray(x), codec, qscale, dc_prec, (quality, False)))
     np.testing.assert_array_equal(got, want)
-
-
-def test_eedi3_dp_kernel_matches_scan(interp):
-    import importlib
-
-    import jax.numpy as jnp
-
-    from vszip_tpu.kernels import eedi3_pallas as kp
-
-    E = importlib.import_module("vszip_tpu.ops.eedi3")
-    interp(kp)
-    rng = np.random.default_rng(5)
-    for hp, mdis, b, l, w, gamma in [
-        (False, 4, 2, 3, 40, 0.08),
-        (False, 4, 2, 3, 40, 0.0),
-        (True, 3, 2, 2, 37, 0.05),
-        (False, 20, 1, 4, 150, 0.08),  # tp_pad 48, wp 256: chunk boundary
-    ]:
-        tpitch = (4 * mdis + 1) if hp else (2 * mdis + 1)
-        tc = jnp.asarray(
-            rng.random((tpitch, b, l, w), dtype=np.float32) * 3.0)
-        want = np.asarray(E._dp(tc, None, gamma, hp))
-        clist = [tc[i] for i in range(tpitch)]
-        got = np.asarray(E._dp_via_pallas(clist, gamma, hp, w))
-        np.testing.assert_array_equal(got, want)

@@ -169,11 +169,20 @@ def _fused_kernel(r3p_ref, r1p_ref, r1n_ref, r3n_ref, o_ref, fp_ref,
     fp_ref[...] = fpath
 
 
-def _nl_for(w: int) -> int:
+def fused_fits(w: int, mdis: int, hp: bool) -> bool:
+    """The cost matrix for one 128-line block must fit the VMEM budget
+    (giant widths, e.g. 4K EEDI3H columns, fall back to the XLA path)."""
+    tp = (4 if hp else 2) * mdis + 1
+    tpp = -(tp // -8) * 8
+    wk = -((w - 1) // -_XC) * _XC + 1
+    return 128 * (wk + 7) * (tpp * 4 + tpp // 2) <= 80 * 1024 * 1024
+
+
+def _nl_for(w: int, tpp: int) -> int:
     """Lines per block: big enough to amortize the DP's per-step overhead,
-    small enough that costs (f32) + piT (i8) fit VMEM comfortably."""
+    small enough that costs (f32) + packed piT fit VMEM comfortably."""
     budget = 72 * 1024 * 1024
-    per = max(w, 1) * (48 * 4 + 64)  # f32 costs + i8 piT per (x, lane)
+    per = max(w, 1) * (tpp * 4 + tpp // 2)  # f32 costs + packed piT words
     nl = budget // per
     return int(max(128, min(512, nl // 128 * 128)))
 
@@ -189,7 +198,7 @@ def eedi3_fused_pallas(r3p, r1p, r1n, r3n, w: int, mdis: int, nrad: int,
     tp = 2 * mdis + 1
     tpp = -(tp // -8) * 8
     bl = b * l
-    nl = _nl_for(w)
+    nl = _nl_for(w, tpp)
     blp = -(bl // -nl) * nl
     wk = -((w - 1) // -_XC) * _XC + 1  # wk-1 divisible by the chunk size
 
@@ -417,11 +426,7 @@ def _fused_kernel_hp(r3p_ref, r1p_ref, r1n_ref, r3n_ref, o_ref, fp_ref,
     fp_ref[...] = fpath
 
 
-def _nl_for_hp(w: int) -> int:
-    budget = 72 * 1024 * 1024
-    per = max(w, 1) * (88 * 4 + 8)
-    nl = budget // per
-    return int(max(128, min(512, nl // 128 * 128)))
+
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
@@ -435,7 +440,7 @@ def eedi3_fused_hp_pallas(r3p, r1p, r1n, r3n, w: int, mdis: int, nrad: int,
     tp = 4 * mdis + 1
     tpp = -(tp // -8) * 8
     bl = b * l
-    nl = _nl_for_hp(w)
+    nl = _nl_for(w, tpp)
     blp = -(bl // -nl) * nl
     wk = -((w - 1) // -_XC) * _XC + 1
 

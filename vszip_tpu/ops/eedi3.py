@@ -467,61 +467,32 @@ def _dp_on_tpu() -> bool:
     return _on_tpu()
 
 
-def _dp_via_pallas(clist, gamma: float, hp: bool, w: int):
-    """Relayout the per-direction cost list to the kernel's (Wp, TP, BLp)
-    x-leading form and run the fused Pallas DP + backtrack.  The x / lane
-    pad values are irrelevant (the backtrack only consumes piT[1 .. w-1]
-    and pins fpath to 0 for x >= w-1), but the tpitch pad rows MUST hold
-    BIG: the kernel's sublane rolls would otherwise bridge t = tpitch-1
-    to t = 0 through the pad rows."""
-    from ..kernels.eedi3_pallas import BIG, _chunk_cols, dp_pallas
-
-    tpitch = len(clist)
-    b, l, _ = clist[0].shape
-    bl = b * l
-    blp = -(bl // -128) * 128
-    tp_pad = -(tpitch // -8) * 8
-    xc = _chunk_cols(tp_pad)
-    wp = -(w // -xc) * xc
-    ents = []
-    for c in clist:
-        ct = jnp.transpose(c.reshape(bl, w))
-        ct = jnp.pad(ct, ((0, wp - w), (0, blp - bl)))
-        ents.append(ct[:, None, :])
-    if tp_pad > tpitch:
-        ents.append(jnp.full((wp, tp_pad - tpitch, blp), BIG, jnp.float32))
-    tct = jnp.concatenate(ents, axis=1)
-    fp = dp_pallas(tct, tpitch, hp, float(gamma), w)
-    return jnp.transpose(fp[:w, :bl]).reshape(b, l, w)
-
-
 @partial(jax.jit, static_argnums=(3, 4, 5, 6))
 def _interp_all(rows4, mask, scp_dummy, params, hp: bool, w: int, use_mask: bool):
     (mdis, nrad, alpha, beta, gamma, one_minus_ab) = params
     r3p, r1p, r1n, r3n = [_pad_rows(r) for r in rows4]
     bm = _build_bmask(mask, mdis) if use_mask else None
     if bm is None and _dp_on_tpu():
-        # fully fused kernel: cost build + DP + backtrack + interpolation in
-        # VMEM (the 2*mdis+1 / 4*mdis+1-direction cost tensor never touches
-        # HBM)
         from ..kernels.eedi3_fused_pallas import (eedi3_fused_hp_pallas,
-                                                  eedi3_fused_pallas)
+                                                  eedi3_fused_pallas,
+                                                  fused_fits)
 
-        fn = eedi3_fused_hp_pallas if hp else eedi3_fused_pallas
-        out, fpath = fn(r3p, r1p, r1n, r3n, w, mdis, nrad,
-                        float(alpha), float(beta), float(gamma))
-        return out, fpath
+        if fused_fits(w, mdis, hp):
+            # fully fused kernel: cost build + DP + backtrack +
+            # interpolation in VMEM (the 2*mdis+1 / 4*mdis+1-direction cost
+            # tensor never touches HBM)
+            fn = eedi3_fused_hp_pallas if hp else eedi3_fused_pallas
+            out, fpath = fn(r3p, r1p, r1n, r3n, w, mdis, nrad,
+                            float(alpha), float(beta), float(gamma))
+            return out, fpath
     if hp:
         clist = _costs_hp(r3p, r1p, r1n, r3n, mdis, nrad, alpha, beta,
                           one_minus_ab)
     else:
         clist = _costs_nonhp(r3p, r1p, r1n, r3n, mdis, nrad, alpha, beta,
                              one_minus_ab)
-    if bm is None and _dp_on_tpu():
-        fpath = _dp_via_pallas(clist, gamma, hp, w)
-    else:
-        tc = jnp.stack(clist, axis=0)
-        fpath = _dp(tc, bm, gamma, hp)
+    tc = jnp.stack(clist, axis=0)
+    fpath = _dp(tc, bm, gamma, hp)
     if hp:
         out = _output_hp(r3p, r1p, r1n, r3n, fpath, w, bm, mdis)
     else:

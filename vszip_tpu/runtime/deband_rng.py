@@ -26,10 +26,21 @@ def _load():
     if _lib is not None:
         return _lib
     if not _LIB.is_file() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
-        subprocess.run(
-            ["g++", "-O2", "-fPIC", "-shared", "-o", str(_LIB), str(_SRC)],
-            check=True,
-        )
+        try:
+            subprocess.run(
+                ["g++", "-O2", "-fPIC", "-shared", "-o", str(_LIB), str(_SRC)],
+                check=True,
+            )
+        except (FileNotFoundError, subprocess.CalledProcessError) as e:
+            if not _LIB.is_file():
+                raise RuntimeError(
+                    "Deband needs the native RNG precompute library "
+                    f"({_LIB.name}): no prebuilt copy was found and building "
+                    "it requires g++.  Install a C++ toolchain or use a "
+                    "wheel that ships the prebuilt library."
+                ) from e
+            # a prebuilt library is present (e.g. from a wheel); a stale
+            # mtime alone is not worth failing over when we cannot rebuild
     lib = ctypes.CDLL(str(_LIB))
     fn = lib.vszip_deband_precompute
     fn.restype = None
