@@ -109,6 +109,15 @@ def main(batch: int = 32) -> None:
         vz.get_format("GRAYS")).device()
     bench("eedi3 dh 540->1080", lambda c: vz.eedi3(c, field=1, dh=True),
           e_in, n=5, b=8)
+    bench("eedi3 hp dh 540->1080",
+          lambda c: vz.eedi3(c, field=1, dh=True, hp=True), e_in, n=5, b=8)
+    bench("eedi3 vcheck dh", lambda c: vz.eedi3(c, field=1, dh=True, vcheck=2),
+          e_in, n=5, b=8)
+    eh_in = vz.Clip.from_planes(
+        (rng.random((8, 1080, 960), dtype=np.float32),),
+        vz.get_format("GRAYS")).device()
+    bench("eedi3h dh 960->1920", lambda c: vz.eedi3h(c, field=1, dh=True),
+          eh_in, n=5, b=8)
 
     # metrics (sync internally)
     p2 = tuple(
@@ -118,12 +127,14 @@ def main(batch: int = 32) -> None:
     )
     c1 = mk("YUV420P10")
     c2 = vz.Clip.from_planes(p2, vz.get_format("YUV420P10")).device()
-    for _ in range(2):
-        vz.xpsnr(c1, c2, fps=24)
+    # props are device arrays now: fence by reading one back
+    np.asarray(vz.xpsnr(c1, c2, fps=24).props["XPSNR_Y"])
+    fence = fence_med(c1)
     t0 = time.perf_counter()
     for _ in range(5):
-        vz.xpsnr(c1, c2, fps=24)
-    dt = (time.perf_counter() - t0) / 5
+        out = vz.xpsnr(c1, c2, fps=24)
+    np.asarray(out.props["XPSNR_Y"])
+    dt = (time.perf_counter() - t0 - fence) / 5
     print(f"{'xpsnr':24s} {dt * 1e3:9.2f} ms/call {batch / dt:9.0f} fps")
 
     r1 = vz.Clip.from_planes(
@@ -132,11 +143,13 @@ def main(batch: int = 32) -> None:
     r2 = vz.Clip.from_planes(
         tuple(np.clip(np.asarray(p) + 0.01, 0, 1) for p in r1.planes),
         vz.get_format("RGBS")).device()
-    vz.ssimulacra2(r1, r2)
+    np.asarray(vz.ssimulacra2(r1, r2).props["SSIMULACRA2"])
+    fence = fence_med(r1)
     t0 = time.perf_counter()
     for _ in range(3):
-        vz.ssimulacra2(r1, r2)
-    dt = (time.perf_counter() - t0) / 3
+        out = vz.ssimulacra2(r1, r2)
+    np.asarray(out.props["SSIMULACRA2"])
+    dt = (time.perf_counter() - t0 - fence) / 3
     print(f"{'ssimulacra2':24s} {dt * 1e3:9.2f} ms/call {8 / dt:9.0f} fps")
 
 

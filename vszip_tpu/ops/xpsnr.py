@@ -315,30 +315,29 @@ def xpsnr(reference: Clip, distorted: Clip, temporal: bool = True,
         tuple(ref.planes), tuple(dist.planes), depth, frame_rate,
         bool(temporal), (widths, heights),
     )
-    wsse = np.asarray(wsse)
+    # prop math stays on device (f64 but tiny): a np.asarray here would cost
+    # a full relay round trip per call and serialize batched scoring
     max_err = float(((1 << depth) - 1) ** 2)
     names = ["XPSNR_Y", "XPSNR_U", "XPSNR_V"]
     props = {}
-    sum_wdist = np.sqrt(wsse).sum(axis=0)
-    cur = np.zeros_like(wsse)
-    for c in range(wsse.shape[1]):
-        sq = np.sqrt(wsse[:, c])
-        num64 = float(widths[c]) * heights[c] * max_err
-        with np.errstate(divide="ignore"):
-            vals = np.where(sq < 1, np.inf, 10.0 * np.log10(num64 / (sq * sq)))
-        cur[:, c] = vals
-        props[names[c]] = vals
-    # end-of-run aggregate (the reference prints this on free)
     n = wsse.shape[0]
-    avg = []
+    sq = jnp.sqrt(wsse)  # (N, C)
+    sum_wdist = jnp.sum(sq, axis=0)
+    num64 = jnp.asarray(
+        [float(widths[c]) * heights[c] * max_err
+         for c in range(wsse.shape[1])], wsse.dtype)
+    cur = jnp.where(
+        sq < 1.0, jnp.inf,
+        10.0 * jnp.log10(num64[None, :] / jnp.maximum(sq, 1.0) ** 2))
     for c in range(wsse.shape[1]):
-        if sum_wdist[c] >= n:
-            ad = sum_wdist[c] / n
-            num64 = float(widths[c]) * heights[c] * max_err
-            avg.append(10.0 * np.log10(num64 / (ad * ad)))
-        else:
-            avg.append(float(cur[:, c].sum()) / n)
-    props["XPSNR_AVG"] = np.asarray(avg)
+        props[names[c]] = cur[:, c]
+    # end-of-run aggregate (the reference prints this on free)
+    ad = jnp.maximum(sum_wdist / n, 1e-300)
+    props["XPSNR_AVG"] = jnp.where(
+        sum_wdist >= n,
+        10.0 * jnp.log10(num64 / (ad * ad)),
+        jnp.sum(cur, axis=0) / n,
+    )
     return distorted.with_props(**props)
 
 
