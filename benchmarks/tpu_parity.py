@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""TPU-vs-CPU parity spot check at the library surface.
+
+The golden suite pins outputs on the CPU backend (tests force an 8-device
+CPU mesh); this script drives the same ops on the real chip and compares
+against a fresh CPU run, so the Pallas/TPU code paths are checked against
+the golden-pinned semantics end to end.  Integer ops must be bit-exact;
+float ops within the golden tolerances.
+
+Run on an idle machine: python benchmarks/tpu_parity.py
+"""
+
+import os
+import pickle
+import subprocess
+import sys
+import tempfile
+from pathlib import Path
+
+import numpy as np
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+SEED = 7
+H, W, N = 192, 256, 4
+
+
+def build_cases(vz, rng):
+    def clip(fmtname, n=N, h=H, w=W):
+        fmt = vz.get_format(fmtname)
+        bits = fmt.bits_per_sample
+        planes = []
+        for p in range(fmt.num_planes):
+            ph = h >> (fmt.subsampling_h if p else 0)
+            pw = w >> (fmt.subsampling_w if p else 0)
+            if fmt.sample_type.name == "INTEGER":
+                dt = np.uint8 if bits <= 8 else np.uint16
+                planes.append(
+                    rng.integers(0, 1 << bits, (n, ph, pw), dtype=dt))
+            else:
+                planes.append(rng.random((n, ph, pw), dtype=np.float32))
+        return vz.Clip.from_planes(tuple(planes), fmt)
+
+    y8, y16, g8, g16, gs = (clip(f) for f in
+                            ("YUV420P8", "YUV420P16", "GRAY8", "GRAY16",
+                             "GRAYS"))
+    return {
+        "boxblur_ct": lambda: vz.boxblur(y16, hradius=13, vradius=13),
+        "boxblur_x3": lambda: vz.boxblur(y16, hradius=5, hpasses=3,
+                                         vradius=5, vpasses=3),
+        "bilateral": lambda: vz.bilateral(y16, sigmaS=2.0, sigmaR=2.0),
+        "deband_m2": lambda: vz.deband(y16, grain=8),
+        "deband_m4": lambda: vz.deband(y16, sample_mode=4),
+        "bdither": lambda: vz.bilateral_dither(g16, radius=8),
+        "clahe8": lambda: vz.clahe(g8),
+        "checkmate": lambda: vz.checkmate(y8),
+        "comb_mask": lambda: vz.comb_mask(y8),
+        "compress": lambda: vz.compress(y8),
+        "mosquito": lambda: vz.mosquito_nr(g16),
+        "eedi3": lambda: vz.eedi3(gs, field=1, dh=True),
+        "eedi3_hp": lambda: vz.eedi3(gs, field=1, dh=True, hp=True),
+        "xpsnr": lambda: vz.xpsnr(
+            clip("YUV420P10"), clip("YUV420P10"), fps=24),
+        "ssimulacra2": lambda: vz.ssimulacra2(
+            clip("RGBS", n=2), clip("RGBS", n=2)),
+    }
+
+
+def run_all():
+    import vszip_tpu as vz
+
+    rng = np.random.default_rng(SEED)
+    out = {}
+    for name, fn in build_cases(vz, rng).items():
+        res = fn()
+        if name in ("xpsnr", "ssimulacra2"):
+            out[name] = {k: np.asarray(v) for k, v in res.props.items()
+                         if k.startswith(("XPSNR", "SSIM"))}
+        else:
+            out[name] = [np.asarray(p) for p in res.planes]
+    return out
+
+
+def main():
+    got = run_all()  # current backend (TPU under axon)
+
+    with tempfile.NamedTemporaryFile(suffix=".pkl", delete=False) as f:
+        ref_path = f.name
+    src = (
+        "import jax, pickle, sys\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        f"sys.path.insert(0, {str(ROOT)!r})\n"
+        f"sys.path.insert(0, {str(ROOT / 'benchmarks')!r})\n"
+        "import tpu_parity\n"
+        f"pickle.dump(tpu_parity.run_all(), open({ref_path!r}, 'wb'))\n"
+    )
+    env = dict(os.environ)
+    subprocess.run([sys.executable, "-c", src], check=True, env=env,
+                   cwd=str(ROOT))
+    want = pickle.load(open(ref_path, "rb"))
+    os.unlink(ref_path)
+
+    # Criteria per op class:
+    # * integer ops: bit-exact (TPU kernels replicate the fixed-point math);
+    #   Bilateral is float-weighted with an integer round at the end, and
+    #   XLA's TPU and CPU backends round its f32 weight chain differently:
+    #   allow 1 LSB on a small fraction of pixels (same bound as the
+    #   documented reference deviation).
+    # * metrics: the golden tolerances (1e-3 relative).
+    # * EEDI3: the fused kernel is bit-identical to the XLA path ON ITS OWN
+    #   BACKEND, but TPU-vs-CPU cost ulps flip Viterbi tie-breaks on a few
+    #   percent of pixels (discrete argmin instability inherent to any
+    #   cross-backend float build, including the Zig reference); accept a
+    #   bounded flip fraction with everything else exact.
+    fails = 0
+    for name in want:
+        g, w = got[name], want[name]
+        detail = ""
+        if isinstance(w, dict):
+            ok = all(np.allclose(np.asarray(g[k], float),
+                                 np.asarray(w[k], float),
+                                 rtol=1e-3, atol=1e-6, equal_nan=True)
+                     for k in w)
+        elif name.startswith("eedi3"):
+            frac = max(
+                (np.abs(a.astype(np.float64) - b.astype(np.float64)) > 1e-6)
+                .mean() for a, b in zip(g, w))
+            ok = frac < 0.05
+            detail = f" (tie-break flips on {frac:.1%} of pixels)"
+        elif name == "bilateral":
+            lsb = max(
+                np.abs(a.astype(np.int64) - b.astype(np.int64)).max()
+                for a, b in zip(g, w))
+            ok = lsb <= 1
+            detail = f" (<= {lsb} LSB)"
+        elif w[0].dtype.kind == "f":
+            ok = all(np.allclose(a, b, rtol=2e-6, atol=1e-6)
+                     for a, b in zip(g, w))
+        else:
+            ok = all(np.array_equal(a, b) for a, b in zip(g, w))
+        print(f"{name:14s} {'OK' if ok else 'MISMATCH'}{detail}", flush=True)
+        fails += 0 if ok else 1
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -35,6 +35,17 @@ PAD = 96  # must match ops/eedi3.py PAD
 _XC = 8  # DP steps per chunk (sublane tile)
 
 
+def _nofma(x):
+    """Round-trip bitcast: blocks Mosaic from contracting the preceding
+    multiply into an FMA.  The XLA path (CPU and TPU backends agree bit
+    for bit) evaluates these expressions as separate mul + add; a fused
+    multiply-add shifts costs by ulps, which flips Viterbi tie-breaks on
+    smooth content (measured: 17% of fpath entries on photographic data).
+    """
+    return jax.lax.bitcast_convert_type(
+        jax.lax.bitcast_convert_type(x, jnp.int32), jnp.float32)
+
+
 def _fused_kernel(r3p_ref, r1p_ref, r1n_ref, r3n_ref, o_ref, fp_ref,
                   costs_ref, piT_ref, fpath_ref, *, w: int, wk: int,
                   mdis: int, nrad: int, alpha: float, beta: float,
@@ -77,10 +88,11 @@ def _fused_kernel(r3p_ref, r1p_ref, r1n_ref, r3n_ref, o_ref, fp_ref,
         for k in range(-nrad, nrad + 1):
             term = tb_at(k + u) + tb_at(k) + tb_at(k + tu)
             s = term if s is None else s + term
-        ip = (at(r1p, u) + at(r1n, -u)) * jnp.float32(0.5)
+        ip = _nofma((at(r1p, u) + at(r1n, -u)) * jnp.float32(0.5))
         v = jnp.abs(at(r1p, 0) - ip) + jnp.abs(at(r1n, 0) - ip)
-        cost_u = (jnp.float32(alpha) * s + jnp.float32(beta * abs(u))
-                  + jnp.float32(omab) * v)
+        cost_u = (_nofma(jnp.float32(alpha) * s)
+                  + jnp.float32(beta * abs(u))
+                  + _nofma(jnp.float32(omab) * v))
         costs_ref[u + mdis, 7 : 7 + wk, :] = cost_u
     for t in range(tp, tpp):
         costs_ref[t] = jnp.full((wk + 7, nl), BIG, jnp.float32)
@@ -273,8 +285,8 @@ def _fused_kernel_hp(r3p_ref, r1p_ref, r1n_ref, r3n_ref, o_ref, fp_ref,
         def att(t):
             return jax.lax.slice(a_e, (2 + t, 0), (2 + t + wpp, nl))
 
-        return (jnp.float32(0.5625) * (a + att(1))
-                - jnp.float32(0.0625) * (att(-1) + att(2)))
+        return (_nofma(jnp.float32(0.5625) * (a + att(1)))
+                - _nofma(jnp.float32(0.0625) * (att(-1) + att(2))))
 
     hpA, hpB, hpC, hpD = (hp_row(r) for r in (r3p, r1p, r1n, r3n))
 
@@ -318,10 +330,11 @@ def _fused_kernel_hp(r3p_ref, r1p_ref, r1n_ref, r3n_ref, o_ref, fp_ref,
             s1 = t1 if s1 is None else s1 + t1
             s2 = t2 if s2 is None else s2 + t2
             s0 = t0 if s0 is None else s0 + t0
-        ip = (at(B0, uh) + at(C0, lo0)) * jnp.float32(0.5)
+        ip = _nofma((at(B0, uh) + at(C0, lo0)) * jnp.float32(0.5))
         v = jnp.abs(at(r1p, 0) - ip) + jnp.abs(at(r1n, 0) - ip)
-        cost_u = (jnp.float32(alpha) * (s0 + s1 + s2)
-                  + jnp.float32(beta * abs(u) * 0.5) + jnp.float32(omab) * v)
+        cost_u = (_nofma(jnp.float32(alpha) * (s0 + s1 + s2))
+                  + jnp.float32(beta * abs(u) * 0.5)
+                  + _nofma(jnp.float32(omab) * v))
         costs_ref[u + cen, 7 : 7 + wk, :] = cost_u
     for t in range(tp, tpp):
         costs_ref[t] = jnp.full((wk + 7, nl), BIG, jnp.float32)
