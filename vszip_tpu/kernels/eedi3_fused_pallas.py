@@ -192,8 +192,11 @@ def fused_fits(w: int, mdis: int, hp: bool) -> bool:
 
 def _nl_for(w: int, tpp: int) -> int:
     """Lines per block: big enough to amortize the DP's per-step overhead,
-    small enough that costs (f32) + packed piT fit VMEM comfortably."""
-    budget = 72 * 1024 * 1024
+    small enough that costs (f32) + packed piT + the cost-build/interp live
+    values fit VMEM (the live-value stack runs ~25 MB on top of the
+    scratch; 56 MB of scratch at w=1080 OOMed the 110 MB budget at
+    nl=256)."""
+    budget = 56 * 1024 * 1024
     per = max(w, 1) * (tpp * 4 + tpp // 2)  # f32 costs + packed piT words
     nl = budget // per
     return int(max(128, min(512, nl // 128 * 128)))
