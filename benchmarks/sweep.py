@@ -96,6 +96,7 @@ def main(batch: int = 32) -> None:
     bench("deband m1", lambda c: vz.deband(c, sample_mode=1), y16, n=5)
     bench("deband m4", lambda c: vz.deband(c, sample_mode=4), y16, n=5)
     bench("deband m6", lambda c: vz.deband(c, sample_mode=6), y16, n=5)
+    bench("deband m7", lambda c: vz.deband(c, sample_mode=7), y16, n=5)
     bench("bdither default r16", lambda c: vz.bilateral_dither(c), g16, n=5)
     bench("bdither dense r16", lambda c: vz.bilateral_dither(c, subspl=2.0),
           g16, n=3)

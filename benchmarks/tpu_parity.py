@@ -60,6 +60,8 @@ def build_cases(vz, rng):
         "mosquito": lambda: vz.mosquito_nr(g16),
         "eedi3": lambda: vz.eedi3(gs, field=1, dh=True),
         "eedi3_hp": lambda: vz.eedi3(gs, field=1, dh=True, hp=True),
+        "eedi3h": lambda: vz.eedi3h(gs, field=1, dh=True),
+        "deband_m7": lambda: vz.deband(y16, sample_mode=7),
         "xpsnr": lambda: vz.xpsnr(
             clip("YUV420P10"), clip("YUV420P10"), fps=24),
         "ssimulacra2": lambda: vz.ssimulacra2(
@@ -122,7 +124,7 @@ def main():
                                  np.asarray(w[k], float),
                                  rtol=1e-3, atol=1e-6, equal_nan=True)
                      for k in w)
-        elif name.startswith("eedi3"):
+        elif name.startswith("eedi3"):  # incl. eedi3h
             frac = max(
                 (np.abs(a.astype(np.float64) - b.astype(np.float64)) > 1e-6)
                 .mean() for a, b in zip(g, w))
