@@ -65,25 +65,59 @@ def _sign(x):
         x < 0, one, jnp.int32(0))
 
 
-def _pass_w(x, cw_ref, base: int, shifts):
-    acc = None
-    for i, s in enumerate(shifts):
-        term = _shl(x, s, 1) * cw_ref[base + i, :][None, :]
-        acc = term if acc is None else acc + term
-    return acc
+def _limbs(x):
+    """i16-range i32 -> (hi, lo) byte-limb bf16 planes (exact: |hi| <= 128,
+    lo in [0, 256))."""
+    return ((x >> 8).astype(jnp.bfloat16), (x & 255).astype(jnp.bfloat16))
 
 
-def _pass_h(x, ch_ref, base: int, shifts):
-    acc = None
-    for i, s in enumerate(shifts):
-        term = _shl(x, s, 0) * ch_ref[:, base + i][:, None]
-        acc = term if acc is None else acc + term
-    return acc
+def _mm(a, b):
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _pass_w(x, cw_ref, base: int):
+    """Group-of-8 butterfly along lanes as block-diagonal MXU matmuls.
+
+    The matrix and the i16-range data each split into byte limbs (bf16-
+    exact); every f32 partial sum stays < 2^20, and the i32 recombination
+    wraps mod 2^32 exactly like the reference's accumulation.  The earlier
+    15-tap masked-roll form spent ~45 VPU ops/pixel per pass."""
+    bh, w = x.shape
+    xh, xl = _limbs(x)
+    ch = cw_ref[base]
+    cl = cw_ref[base + 1]
+    outs = []
+    for c0 in range(0, w, 128):
+        cn = min(128, w - c0)
+        sh = jax.lax.slice(xh, (0, c0), (bh, c0 + cn))
+        sl = jax.lax.slice(xl, (0, c0), (bh, c0 + cn))
+        mh = jax.lax.slice(ch, (0, 0), (cn, cn))
+        ml = jax.lax.slice(cl, (0, 0), (cn, cn))
+        hh = _mm(sh, mh)
+        mid = _mm(sh, ml) + _mm(sl, mh)
+        ll = _mm(sl, ml)
+        acc = ((hh.astype(jnp.int32) << 16)
+               + (mid.astype(jnp.int32) << 8) + ll.astype(jnp.int32))
+        outs.append(acc)
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+
+
+def _pass_h(x, ah_ref, base: int):
+    """Group-of-8 butterfly along sublanes: one block-diagonal (BH, BH)
+    matmul from the left, same limb scheme as _pass_w."""
+    xh, xl = _limbs(x)
+    mh = ah_ref[base]
+    ml = ah_ref[base + 1]
+    hh = _mm(mh, xh)
+    mid = _mm(ml, xh) + _mm(mh, xl)
+    ll = _mm(ml, xl)
+    return ((hh.astype(jnp.int32) << 16)
+            + (mid.astype(jnp.int32) << 8) + ll.astype(jnp.int32))
 
 
 def _compress_kernel(x_ref, cw_ref, ch_ref, vw_ref, mw_ref, mh_ref,
-                     qa_ref, qb_ref, o_ref, *, codec: str, fshifts, ishifts,
-                     consts):
+                     qa_ref, qb_ref, o_ref, *, codec: str, consts):
     from ..ops.compress import (COL_DC_BIAS, COL_SHIFT, CONST_BITS,
                                 PASS1_BITS, ROW_SHIFT, W4)
 
@@ -94,10 +128,10 @@ def _compress_kernel(x_ref, cw_ref, ch_ref, vw_ref, mw_ref, mh_ref,
     dch = (mh_ref[:, 1] != 0)[:, None]
 
     # --- forward DCT ---
-    raw = _pass_w(x, cw_ref, 0, fshifts)
+    raw = _pass_w(x, cw_ref, 0)
     p1 = _i16(jnp.where(m04w, raw * (1 << PASS1_BITS),
                         _descale(raw, CONST_BITS - PASS1_BITS)))
-    raw2 = _pass_h(p1, ch_ref, 0, fshifts)
+    raw2 = _pass_h(p1, ch_ref, 0)
     coeff = _i16(jnp.where(m04h, _descale(raw2, PASS1_BITS),
                            _descale(raw2, CONST_BITS + PASS1_BITS)))
 
@@ -132,7 +166,7 @@ def _compress_kernel(x_ref, cw_ref, ch_ref, vw_ref, mw_ref, mh_ref,
         outq = _i16(q * qb)
 
     # --- inverse DCT ---
-    raw = _pass_w(outq, cw_ref, len(fshifts), ishifts)
+    raw = _pass_w(outq, cw_ref, 2)
     rows = _i16((raw + jnp.int32(1 << (ROW_SHIFT - 1))) >> ROW_SHIFT)
     # DC-only-row fast path: group OR of AC lanes / group sum of the DC lane
     # (the same validity bank serves both: masked shifts over s give every
@@ -148,7 +182,7 @@ def _compress_kernel(x_ref, cw_ref, ch_ref, vw_ref, mw_ref, mh_ref,
         gor = t_or if gor is None else gor | t_or
         dcb = t_dc if dcb is None else dcb + t_dc
     rows = jnp.where(gor == 0, _i16(dcb * 8), rows)
-    raw2 = _pass_h(rows, ch_ref, len(fshifts), ishifts)
+    raw2 = _pass_h(rows, ch_ref, 2)
     pix = (raw2 + jnp.int32(W4 * COL_DC_BIAS)) >> COL_SHIFT
     o_ref[0] = pix
 
@@ -163,25 +197,24 @@ def compress_plane_pallas(x, qa_tile, qb_tile, codec: str, consts,
     n, h, w = x.shape
     xi = x.astype(jnp.int32) - level  # widen in XLA, not in-kernel
 
-    def coef_bank(mat, length):
-        lanes = np.arange(length) % 8
-        shifts, rows = [], []
-        for s in range(-7, 8):
-            src = lanes + s
-            valid = (src >= 0) & (src < 8)
-            coef = np.where(valid, mat[lanes, np.clip(src, 0, 7)], 0)
-            if np.any(coef):
-                shifts.append(s)
-                rows.append(coef.astype(np.int32))
-        return shifts, np.stack(rows)
+    def blockdiag_limbs(mat, size, right):
+        b = np.zeros((size, size), np.int64)
+        blk = mat.T if right else mat
+        for g in range(0, size, 8):
+            b[g : g + 8, g : g + 8] = blk
+        hi = (b >> 8).astype(np.float32)
+        lo = (b & 255).astype(np.float32)
+        return hi, lo
 
-    fshifts_w, cw_f = coef_bank(_fdct_mat(), w)
-    ishifts_w, cw_i = coef_bank(_idct_mat(), w)
-    fshifts_h, ch_f = coef_bank(_fdct_mat(), BH)
-    ishifts_h, ch_i = coef_bank(_idct_mat(), BH)
-    assert fshifts_w == fshifts_h and ishifts_w == ishifts_h
-    cw = jnp.asarray(np.concatenate([cw_f, cw_i], axis=0))          # (S, W)
-    ch = jnp.asarray(np.concatenate([ch_f, ch_i], axis=0).T)        # (BH, S)
+    # 4 stacked (128,128) right-multiply matrices (fdct hi/lo, idct hi/lo)
+    # and the (BH,BH) left-multiply set; entries < 2^15 split into byte
+    # limbs, bf16-exact
+    cw = jnp.asarray(np.stack(
+        blockdiag_limbs(_fdct_mat(), 128, True)
+        + blockdiag_limbs(_idct_mat(), 128, True)), jnp.bfloat16)
+    ch = jnp.asarray(np.stack(
+        blockdiag_limbs(_fdct_mat(), BH, False)
+        + blockdiag_limbs(_idct_mat(), BH, False)), jnp.bfloat16)
 
     lanes_w = np.arange(w) % 8
     lanes_h = np.arange(BH) % 8
@@ -192,9 +225,7 @@ def compress_plane_pallas(x, qa_tile, qb_tile, codec: str, consts,
     mh = np.stack([(lanes_h % 4 == 0).astype(np.int32),
                    (lanes_h == 0).astype(np.int32)], axis=1)        # (BH, 2)
 
-    kern = functools.partial(_compress_kernel, codec=codec,
-                             fshifts=tuple(fshifts_w),
-                             ishifts=tuple(ishifts_w), consts=consts)
+    kern = functools.partial(_compress_kernel, codec=codec, consts=consts)
     zero = np.int32(0)  # literal 0 traces as i64 under x64; Mosaic has no i64
     full = lambda shape: pl.BlockSpec(
         shape, lambda i, j: (zero,) * len(shape))
