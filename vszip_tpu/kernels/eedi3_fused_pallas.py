@@ -46,10 +46,14 @@ def _nofma(x):
         jax.lax.bitcast_convert_type(x, jnp.int32), jnp.float32)
 
 
-def _fused_kernel(r3p_ref, r1p_ref, r1n_ref, r3n_ref, o_ref, fp_ref,
-                  costs_ref, piT_ref, fpath_ref, *, w: int, wk: int,
-                  mdis: int, nrad: int, alpha: float, beta: float,
-                  omab: float, gamma: float, nl: int):
+def _fused_kernel(r3p_ref, r1p_ref, r1n_ref, r3n_ref, *refs, w: int,
+                  wk: int, mdis: int, nrad: int, alpha: float, beta: float,
+                  omab: float, gamma: float, nl: int, use_mask: bool):
+    if use_mask:
+        bm_ref, o_ref, fp_ref, costs_ref, piT_ref, fpath_ref = refs
+    else:
+        o_ref, fp_ref, costs_ref, piT_ref, fpath_ref = refs
+        bm_ref = None
     tp = 2 * mdis + 1
     tpp = costs_ref.shape[0]
     wpp = wk + 2 * PAD
@@ -118,22 +122,40 @@ def _fused_kernel(r3p_ref, r1p_ref, r1n_ref, r3n_ref, o_ref, fp_ref,
         bd = jnp.where(rw, jnp.int32(2), bd)
         return jnp.minimum(bval + tcx, BIG), bd
 
-    def fwd_chunk(c, pcost):
+    def fwd_chunk(c, carry):
+        pcost, prev_bd = carry
         s0 = jnp.int32(8) + c * jnp.int32(xc)  # row of x0 = 1 + c*xc
         tcs = costs_ref[:, pl.ds(s0, xc), :]  # (TPP, xc, NL)
+        # the mask shares the x-at-row-x+7 layout, so this read is 8-aligned
+        bms = bm_ref[pl.ds(s0, xc)] if use_mask else None  # (xc, NL) i32
         word = jnp.zeros((tpp, nl), jnp.int32)
         for k in range(xc):
-            pcost, bd = step(pcost, tcs[:, k, :])
+            tcx = tcs[:, k, :]
+            new_pcost, bd = step(pcost, tcx)
+            if use_mask:
+                # inactive x: carry costs/backtrack through; at x==1 reset
+                # (reference _dp mclip gating).  Broadcast the i32 mask
+                # BEFORE comparing: Mosaic's i1 broadcast lowering recurses
+                is_x1 = (c == 0) & (k == 0)
+                inactive = jnp.broadcast_to(
+                    bms[k : k + 1, :], (tpp, nl)) == 0
+                reset = jnp.where(is_x1, tcx, pcost)
+                new_pcost = jnp.where(inactive, reset, new_pcost)
+                bd = jnp.where(
+                    inactive,
+                    jnp.where(is_x1, jnp.int32(1), prev_bd), bd)
+            pcost = new_pcost
+            prev_bd = bd
             # padded steps (x >= w) must contribute zero backtrack delta
             bd = jnp.where(
                 jnp.int32(1 + k) + c * jnp.int32(xc) < jnp.int32(w),
                 bd, jnp.int32(1))
             word = word | (bd << (2 * k))
         piT_ref[c] = word
-        return pcost
+        return pcost, prev_bd
 
     jax.lax.fori_loop(jnp.int32(0), jnp.int32(nchunks), fwd_chunk,
-                      pcost0)
+                      (pcost0, jnp.zeros((tpp, nl), jnp.int32)))
 
     # ---- backtrack (reverse): fpath[x] = f(x+1) + piT[x+1][mdis+f(x+1)] ----
     # f stays in f32 (exact for |f| <= mdis): cross-sublane i32 reduces and
@@ -163,6 +185,10 @@ def _fused_kernel(r3p_ref, r1p_ref, r1n_ref, r3n_ref, o_ref, fp_ref,
 
     # ---- directional interpolation (one-hot over fv, masks shared) ----
     fpath = fpath_ref[...].astype(jnp.int32)
+    if use_mask:
+        # mask is 0/1 i32; a multiply avoids a bool conversion that
+        # recurses in this Mosaic lowering
+        fpath = fpath * bm_ref[7 : 7 + wk]
     zero = jnp.zeros((wk, nl), jnp.float32)
     g1p = g1n = g3p = g3n = zero
     for fv in range(-mdis, mdis + 1):
@@ -204,9 +230,10 @@ def _nl_for(w: int, tpp: int) -> int:
 
 @functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
 def eedi3_fused_pallas(r3p, r1p, r1n, r3n, w: int, mdis: int, nrad: int,
-                       alpha: float, beta: float, gamma: float):
+                       alpha: float, beta: float, gamma: float, bmask=None):
     """Fused cost+DP+backtrack+interp.  Inputs: (B, L, w + 2*PAD) f32
-    padded rows.  Returns (out, fpath): (B, L, w) f32 / i32."""
+    padded rows; optional (B, L, w) bool mclip gate (reference _dp mclip
+    semantics).  Returns (out, fpath): (B, L, w) f32 / i32."""
     b, l, wp = r3p.shape
     assert wp == w + 2 * PAD
     omab = 1.0 - alpha - beta
@@ -226,15 +253,26 @@ def eedi3_fused_pallas(r3p, r1p, r1n, r3n, w: int, mdis: int, nrad: int,
         return rt
 
     rows = [tr(r) for r in (r3p, r1p, r1n, r3n)]
+    use_mask = bmask is not None
+    if use_mask:
+        # mask rides the same x-at-row-x+7 layout as the cost scratch so
+        # the DP's dynamic chunk reads stay 8-aligned; pad x/lanes inactive
+        bt = jnp.transpose(bmask.astype(jnp.int32).reshape(bl, w))
+        if blp > bl:
+            bt = jnp.pad(bt, ((0, 0), (0, blp - bl)))
+        bt = jnp.pad(bt, ((7, wk - w), (0, 0)))
+        rows.append(bt)
     wpp = wk + 2 * PAD
     nb = blp // nl
 
     kern = functools.partial(
         _fused_kernel, w=w, wk=wk, mdis=mdis, nrad=nrad, alpha=alpha,
-        beta=beta, omab=omab, gamma=gamma, nl=nl,
+        beta=beta, omab=omab, gamma=gamma, nl=nl, use_mask=use_mask,
     )
     zero = np.int32(0)
     in_spec = pl.BlockSpec((wpp, nl), lambda i: (zero, i),
+                           memory_space=pltpu.VMEM)
+    bm_spec = pl.BlockSpec((wk + 7, nl), lambda i: (zero, i),
                            memory_space=pltpu.VMEM)
     out_specs = [
         pl.BlockSpec((wk, nl), lambda i: (zero, i), memory_space=pltpu.VMEM),
@@ -245,7 +283,7 @@ def eedi3_fused_pallas(r3p, r1p, r1n, r3n, w: int, mdis: int, nrad: int,
         out_shape=(jax.ShapeDtypeStruct((wk, blp), jnp.float32),
                    jax.ShapeDtypeStruct((wk, blp), jnp.int32)),
         grid=(nb,),
-        in_specs=[in_spec] * 4,
+        in_specs=[in_spec] * 4 + ([bm_spec] if use_mask else []),
         out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((tpp, wk + 7, nl), jnp.float32),  # costs (x at row x+7)

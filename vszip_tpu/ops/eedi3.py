@@ -472,7 +472,7 @@ def _interp_all(rows4, mask, scp_dummy, params, hp: bool, w: int, use_mask: bool
     (mdis, nrad, alpha, beta, gamma, one_minus_ab) = params
     r3p, r1p, r1n, r3n = [_pad_rows(r) for r in rows4]
     bm = _build_bmask(mask, mdis) if use_mask else None
-    if bm is None and _dp_on_tpu():
+    if (bm is None or not hp) and _dp_on_tpu():
         from ..kernels.eedi3_fused_pallas import (eedi3_fused_hp_pallas,
                                                   eedi3_fused_pallas,
                                                   fused_fits)
@@ -480,10 +480,16 @@ def _interp_all(rows4, mask, scp_dummy, params, hp: bool, w: int, use_mask: bool
         if fused_fits(w, mdis, hp):
             # fully fused kernel: cost build + DP + backtrack +
             # interpolation in VMEM (the 2*mdis+1 / 4*mdis+1-direction cost
-            # tensor never touches HBM)
-            fn = eedi3_fused_hp_pallas if hp else eedi3_fused_pallas
-            out, fpath = fn(r3p, r1p, r1n, r3n, w, mdis, nrad,
-                            float(alpha), float(beta), float(gamma))
+            # tensor never touches HBM); the non-hp variant also takes the
+            # mclip gate
+            if hp:
+                out, fpath = eedi3_fused_hp_pallas(
+                    r3p, r1p, r1n, r3n, w, mdis, nrad,
+                    float(alpha), float(beta), float(gamma))
+            else:
+                out, fpath = eedi3_fused_pallas(
+                    r3p, r1p, r1n, r3n, w, mdis, nrad,
+                    float(alpha), float(beta), float(gamma), bm)
             return out, fpath
     if hp:
         clist = _costs_hp(r3p, r1p, r1n, r3n, mdis, nrad, alpha, beta,
