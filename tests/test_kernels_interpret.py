@@ -237,3 +237,25 @@ def test_compress_kernel_matches_xla(interp, codec, kw):
     want = np.asarray(cop._compress_plane(
         jnp.asarray(x), codec, qscale, dc_prec, (quality, False)))
     np.testing.assert_array_equal(got, want)
+
+
+def test_ssim_sums_kernel_matches_xla(interp):
+    import importlib
+
+    import jax.numpy as jnp
+
+    from vszip_tpu.kernels import ssim_pallas as kp
+
+    sop = importlib.import_module("vszip_tpu.ops.ssimulacra2")
+
+    interp(kp)
+    rng = np.random.default_rng(5)
+    # 130 rows: the trailing-rule rows straddle the last two 64-row bands
+    im1 = jnp.asarray(rng.random((2, 130, 131), dtype=np.float32))
+    im2 = jnp.asarray(rng.random((2, 130, 131), dtype=np.float32))
+    for ns, ne in [(True, True), (True, False), (False, True)]:
+        got = np.asarray(kp.ssim_sums_pallas(im1, im2, ns, ne))
+        want = np.stack(
+            [np.asarray(v) for v in sop._plane_sums_xla(im1, im2, ns, ne)],
+            axis=1)
+        np.testing.assert_allclose(got, want, rtol=1e-4)

@@ -188,15 +188,61 @@ def _blur(x):
     return _blur_1d(_blur_1d(x, 1), 2)
 
 
-def _norms(m, npix):
+def _norms_raw(m):
     # full-resolution math stays f32 (emulated f64 vector ops are ~10x);
     # XLA's tree reduction keeps the f32 sum error ~1e-7 relative, far
     # inside the metric's 1e-3 score tolerance.  The scalar tail widens
     # to f64 to match the reference's final fold.
-    s1 = jnp.sum(m, axis=(1, 2)).astype(jnp.float64) * npix
+    s1 = jnp.sum(m, axis=(1, 2)).astype(jnp.float64)
     m4 = (m * m) * (m * m)
-    s4 = jnp.sqrt(jnp.sqrt(jnp.sum(m4, axis=(1, 2)).astype(jnp.float64) * npix))
+    s4 = jnp.sum(m4, axis=(1, 2)).astype(jnp.float64)
     return s1, s4
+
+
+def _plane_sums_xla(im1, im2, need_ssim: bool, need_err: bool):
+    """Raw map sums [ssim_1, ssim_4, art_1, art_4, det_1, det_4], each (N,)
+    f64 (4-norm entries are pre-root sums of m^4)."""
+    n = im1.shape[0]
+    zero = jnp.zeros((n,), jnp.float64)
+    mu1 = _blur(im1)
+    mu2 = _blur(im2)
+    if need_ssim:
+        s12 = _blur(im1 * im2)
+        sq = _blur((im1 + im2) ** 2)
+        m11 = mu1 * mu1
+        m22 = mu2 * mu2
+        m12 = mu1 * mu2
+        md = mu1 - mu2
+        num_m = 1.0 - md * md
+        num_s = 2.0 * (s12 - m12) + jnp.float32(0.0009)
+        den_s = sq - 2.0 * s12 - m11 - m22 + jnp.float32(0.0009)
+        d1 = jnp.maximum(1.0 - (num_m * num_s) / den_s, jnp.float32(0.0))
+        ssim1, ssim4 = _norms_raw(d1)
+    else:
+        ssim1 = ssim4 = zero
+    if need_err:
+        n1 = jnp.abs(im1 - mu1)
+        n2 = jnp.abs(im2 - mu2)
+        d1e = (1.0 + n2) / (1.0 + n1) - 1.0
+        art1, art4 = _norms_raw(jnp.maximum(d1e, jnp.float32(0.0)))
+        det1, det4 = _norms_raw(jnp.maximum(-d1e, jnp.float32(0.0)))
+    else:
+        art1 = art4 = det1 = det4 = zero
+    return ssim1, ssim4, art1, art4, det1, det4
+
+
+def _plane_sums(im1, im2, need_ssim: bool, need_err: bool):
+    """Dispatch: fused Pallas band kernel on TPU (one HBM read of im1/im2
+    covers all four blurs + maps + reductions), jnp ladder elsewhere."""
+    from .boxblur import _on_tpu
+
+    h, w = im1.shape[1], im1.shape[2]
+    if _on_tpu() and h >= 16 and w >= 16:
+        from ..kernels.ssim_pallas import ssim_sums_pallas
+
+        s = ssim_sums_pallas(im1, im2, need_ssim, need_err)
+        return tuple(s[:, k] for k in range(6))
+    return _plane_sums_xla(im1, im2, need_ssim, need_err)
 
 
 @jax.jit
@@ -218,35 +264,18 @@ def _ssimulacra2_frames(planes1, planes2):
         for plane in range(3):
             sk = _skip(plane, scale)
             im1, im2 = xyb1[plane], xyb2[plane]
-            need_mu = not (sk["ssim"] and sk["artifact"] and sk["detailloss"])
-            if not need_mu:
+            need_ssim = not sk["ssim"]
+            need_err = not (sk["artifact"] and sk["detailloss"])
+            if not (need_ssim or need_err):
                 terms[(scale, plane)] = (0.0,) * 6
                 continue
-            mu1 = _blur(im1)
-            mu2 = _blur(im2)
-            if not sk["ssim"]:
-                s12 = _blur(im1 * im2)
-                sq = _blur((im1 + im2) ** 2)
-                m11 = mu1 * mu1
-                m22 = mu2 * mu2
-                m12 = mu1 * mu2
-                md = mu1 - mu2
-                num_m = 1.0 - md * md
-                num_s = 2.0 * (s12 - m12) + jnp.float32(0.0009)
-                den_s = sq - 2.0 * s12 - m11 - m22 + jnp.float32(0.0009)
-                d1 = jnp.maximum(1.0 - (num_m * num_s) / den_s,
-                                 jnp.float32(0.0))
-                ssim1, ssim4 = _norms(d1, npix)
-            else:
-                ssim1 = ssim4 = jnp.zeros((n,), jnp.float64)
-            if not (sk["artifact"] and sk["detailloss"]):
-                n1 = jnp.abs(im1 - mu1)
-                n2 = jnp.abs(im2 - mu2)
-                d1e = (1.0 + n2) / (1.0 + n1) - 1.0
-                art1, art4 = _norms(jnp.maximum(d1e, jnp.float32(0.0)), npix)
-                det1, det4 = _norms(jnp.maximum(-d1e, jnp.float32(0.0)), npix)
-            else:
-                art1 = art4 = det1 = det4 = jnp.zeros((n,), jnp.float64)
+            raw = _plane_sums(im1, im2, need_ssim, need_err)
+            ssim1 = raw[0] * npix
+            ssim4 = jnp.sqrt(jnp.sqrt(raw[1] * npix))
+            art1 = raw[2] * npix
+            art4 = jnp.sqrt(jnp.sqrt(raw[3] * npix))
+            det1 = raw[4] * npix
+            det4 = jnp.sqrt(jnp.sqrt(raw[5] * npix))
             terms[(scale, plane)] = (ssim1, ssim4, art1, art4, det1, det4)
 
     # fold in the reference's weight order
@@ -289,10 +318,11 @@ def ssimulacra2(reference: Clip, distorted: Clip) -> Clip:
             raise VSZipError(f"{FILTER_NAME}: half precision input is not supported.")
     lin1 = srgb_to_linear(to_rgbs(reference))
     lin2 = srgb_to_linear(to_rgbs(distorted))
-    # the 6-scale pyramid holds dozens of full-frame f32 intermediates;
-    # chunk the frame batch so transients stay well under HBM capacity
-    # (~4 x 1080p frames per chunk)
-    budget = 4 * 1080 * 1920
+    # the pyramid holds a dozen full-frame f32 intermediates (sources + XYB;
+    # the blur/map transients live in VMEM inside the fused kernel); chunk
+    # the frame batch so transients stay well under HBM capacity
+    # (~16 x 1080p frames per chunk)
+    budget = 16 * 1080 * 1920
     chunk = max(1, budget // max(reference.width * reference.height, 1))
     n = reference.num_frames
     if n <= chunk:
