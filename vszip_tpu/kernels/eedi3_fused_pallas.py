@@ -48,7 +48,8 @@ def _nofma(x):
 
 def _fused_kernel(r3p_ref, r1p_ref, r1n_ref, r3n_ref, *refs, w: int,
                   wk: int, mdis: int, nrad: int, alpha: float, beta: float,
-                  omab: float, gamma: float, nl: int, use_mask: bool):
+                  omab: float, gamma: float, nl: int, use_mask: bool,
+                  segs: tuple):
     if use_mask:
         bm_ref, o_ref, fp_ref, costs_ref, piT_ref, fpath_ref = refs
     else:
@@ -56,53 +57,70 @@ def _fused_kernel(r3p_ref, r1p_ref, r1n_ref, r3n_ref, *refs, w: int,
         bm_ref = None
     tp = 2 * mdis + 1
     tpp = costs_ref.shape[0]
-    wpp = wk + 2 * PAD
+    ncols = costs_ref.shape[1]
     ext = 2 * mdis
     xc = _XC
+    rr = 2 * mdis + nrad  # widest tb offset the window sums reach
 
     r3p = r3p_ref[...]
     r1p = r1p_ref[...]
     r1n = r1n_ref[...]
     r3n = r3n_ref[...]
 
-    # ---- cost build: one (wk, NL) tile per direction u ----
+    # ---- cost build: one (swk, NL) tile per direction u per x segment ----
+    # (segments keep the cost scratch bounded: only one segment's costs
+    # live in VMEM; the packed backtrack spans the whole line)
     zext = jnp.zeros((ext, nl), jnp.float32)
     r1p_e = jnp.concatenate([zext, r1p, zext], axis=0)
     r1n_e = jnp.concatenate([zext, r1n, zext], axis=0)
     r3n_e = jnp.concatenate([zext, r3n, zext], axis=0)
 
-    def sh(x_e, t):  # value at padded position j - t (zero beyond)
-        return jax.lax.slice(x_e, (ext - t, 0), (ext - t + wpp, nl))
+    def at(x_p, off, x0, swk):  # padded row at data offset `off`, (swk, NL)
+        return jax.lax.slice(
+            x_p, (PAD + off + x0, 0), (PAD + off + x0 + swk, nl))
 
-    def at(x_p, off):  # padded row at data offset `off`, (wk, NL)
-        return jax.lax.slice(x_p, (PAD + off, 0), (PAD + off + wk, nl))
+    # scratch x layout: segment-local x lives at scratch row x - x0 + 7, so
+    # the DP's dynamic chunk reads (x = 1 + c*8 .. +8) hit 8-aligned sublanes
+    def build_segment(c0: int, segc: int):
+        x0 = xc * c0
+        swk = xc * segc + 1
+        p0 = x0 + PAD - rr  # padded coord of the tb window start (rr <= PAD)
+        plen = swk + 2 * rr
 
-    # scratch x layout: data x lives at scratch row x + 7, so the DP's
-    # dynamic chunk reads (x = 1 + c*8 .. +8) hit 8-aligned sublanes
-    for u in range(-mdis, mdis + 1):
-        tu = 2 * u
-        tb = (jnp.abs(r3p - sh(r1p_e, tu))
-              + jnp.abs(r1p - sh(r1n_e, tu))
-              + jnp.abs(r1n - sh(r3n_e, tu)))
+        def res(x_p):  # restrict a padded row to the tb window
+            return jax.lax.slice(x_p, (p0, 0), (p0 + plen, nl))
 
-        def tb_at(off):
-            return jax.lax.slice(tb, (PAD + off, 0), (PAD + off + wk, nl))
+        def shr(x_e, t):  # restricted value at padded position j - t
+            return jax.lax.slice(
+                x_e, (ext - t + p0, 0), (ext - t + p0 + plen, nl))
 
-        s = None
-        for k in range(-nrad, nrad + 1):
-            term = tb_at(k + u) + tb_at(k) + tb_at(k + tu)
-            s = term if s is None else s + term
-        ip = _nofma((at(r1p, u) + at(r1n, -u)) * jnp.float32(0.5))
-        v = jnp.abs(at(r1p, 0) - ip) + jnp.abs(at(r1n, 0) - ip)
-        cost_u = (_nofma(jnp.float32(alpha) * s)
-                  + jnp.float32(beta * abs(u))
-                  + _nofma(jnp.float32(omab) * v))
-        costs_ref[u + mdis, 7 : 7 + wk, :] = cost_u
+        r3p_r, r1p_r, r1n_r = res(r3p), res(r1p), res(r1n)
+        for u in range(-mdis, mdis + 1):
+            tu = 2 * u
+            tb = (jnp.abs(r3p_r - shr(r1p_e, tu))
+                  + jnp.abs(r1p_r - shr(r1n_e, tu))
+                  + jnp.abs(r1n_r - shr(r3n_e, tu)))
+
+            def tb_at(off):
+                return jax.lax.slice(tb, (rr + off, 0), (rr + off + swk, nl))
+
+            s = None
+            for k in range(-nrad, nrad + 1):
+                term = tb_at(k + u) + tb_at(k) + tb_at(k + tu)
+                s = term if s is None else s + term
+            ip = _nofma((at(r1p, u, x0, swk) + at(r1n, -u, x0, swk))
+                        * jnp.float32(0.5))
+            v = (jnp.abs(at(r1p, 0, x0, swk) - ip)
+                 + jnp.abs(at(r1n, 0, x0, swk) - ip))
+            cost_u = (_nofma(jnp.float32(alpha) * s)
+                      + jnp.float32(beta * abs(u))
+                      + _nofma(jnp.float32(omab) * v))
+            costs_ref[u + mdis, 7 : 7 + swk, :] = cost_u
+
     for t in range(tp, tpp):
-        costs_ref[t] = jnp.full((wk + 7, nl), BIG, jnp.float32)
+        costs_ref[t] = jnp.full((ncols, nl), BIG, jnp.float32)
 
     # ---- DP forward (x = 1 .. wk-1), xc steps per chunk ----
-    pcost0 = costs_ref[:, 7, :]  # cost at x=0; pad rows hold BIG
     nchunks = (wk - 1) // xc
     gam = jnp.float32(gamma)
     big1 = jnp.full((1, nl), BIG, jnp.float32)
@@ -122,40 +140,52 @@ def _fused_kernel(r3p_ref, r1p_ref, r1n_ref, r3n_ref, *refs, w: int,
         bd = jnp.where(rw, jnp.int32(2), bd)
         return jnp.minimum(bval + tcx, BIG), bd
 
-    def fwd_chunk(c, carry):
-        pcost, prev_bd = carry
-        s0 = jnp.int32(8) + c * jnp.int32(xc)  # row of x0 = 1 + c*xc
-        tcs = costs_ref[:, pl.ds(s0, xc), :]  # (TPP, xc, NL)
-        # the mask shares the x-at-row-x+7 layout, so this read is 8-aligned
-        bms = bm_ref[pl.ds(s0, xc)] if use_mask else None  # (xc, NL) i32
-        word = jnp.zeros((tpp, nl), jnp.int32)
-        for k in range(xc):
-            tcx = tcs[:, k, :]
-            new_pcost, bd = step(pcost, tcx)
-            if use_mask:
-                # inactive x: carry costs/backtrack through; at x==1 reset
-                # (reference _dp mclip gating).  Broadcast the i32 mask
-                # BEFORE comparing: Mosaic's i1 broadcast lowering recurses
-                is_x1 = (c == 0) & (k == 0)
-                inactive = jnp.broadcast_to(
-                    bms[k : k + 1, :], (tpp, nl)) == 0
-                reset = jnp.where(is_x1, tcx, pcost)
-                new_pcost = jnp.where(inactive, reset, new_pcost)
+    def fwd_seg(c0: int):
+        def fwd_chunk(cl, carry):
+            pcost, prev_bd = carry
+            c = cl + jnp.int32(c0)  # global chunk index
+            s0 = jnp.int32(8) + cl * jnp.int32(xc)  # local row of x0 = 1+c*xc
+            tcs = costs_ref[:, pl.ds(s0, xc), :]  # (TPP, xc, NL)
+            # the mask shares the x-at-row-x+7 layout (global), so this
+            # read is 8-aligned
+            bms = (bm_ref[pl.ds(jnp.int32(8) + c * jnp.int32(xc), xc)]
+                   if use_mask else None)  # (xc, NL) i32
+            word = jnp.zeros((tpp, nl), jnp.int32)
+            for k in range(xc):
+                tcx = tcs[:, k, :]
+                new_pcost, bd = step(pcost, tcx)
+                if use_mask:
+                    # inactive x: carry costs/backtrack through; at x==1
+                    # reset (reference _dp mclip gating).  Broadcast the i32
+                    # mask BEFORE comparing: Mosaic's i1 broadcast lowering
+                    # recurses
+                    is_x1 = (c == 0) & (k == 0)
+                    inactive = jnp.broadcast_to(
+                        bms[k : k + 1, :], (tpp, nl)) == 0
+                    reset = jnp.where(is_x1, tcx, pcost)
+                    new_pcost = jnp.where(inactive, reset, new_pcost)
+                    bd = jnp.where(
+                        inactive,
+                        jnp.where(is_x1, jnp.int32(1), prev_bd), bd)
+                pcost = new_pcost
+                prev_bd = bd
+                # padded steps (x >= w) must contribute zero backtrack delta
                 bd = jnp.where(
-                    inactive,
-                    jnp.where(is_x1, jnp.int32(1), prev_bd), bd)
-            pcost = new_pcost
-            prev_bd = bd
-            # padded steps (x >= w) must contribute zero backtrack delta
-            bd = jnp.where(
-                jnp.int32(1 + k) + c * jnp.int32(xc) < jnp.int32(w),
-                bd, jnp.int32(1))
-            word = word | (bd << (2 * k))
-        piT_ref[c] = word
-        return pcost, prev_bd
+                    jnp.int32(1 + k) + c * jnp.int32(xc) < jnp.int32(w),
+                    bd, jnp.int32(1))
+                word = word | (bd << (2 * k))
+            piT_ref[c] = word
+            return pcost, prev_bd
+        return fwd_chunk
 
-    jax.lax.fori_loop(jnp.int32(0), jnp.int32(nchunks), fwd_chunk,
-                      (pcost0, jnp.zeros((tpp, nl), jnp.int32)))
+    carry = None
+    for c0, segc in segs:
+        build_segment(c0, segc)
+        if c0 == 0:
+            # cost at x=0 sits at row 7 of segment 0; pad rows hold BIG
+            carry = (costs_ref[:, 7, :], jnp.zeros((tpp, nl), jnp.int32))
+        carry = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(segc), fwd_seg(c0), carry)
 
     # ---- backtrack (reverse): fpath[x] = f(x+1) + piT[x+1][mdis+f(x+1)] ----
     # f stays in f32 (exact for |f| <= mdis): cross-sublane i32 reduces and
@@ -193,10 +223,10 @@ def _fused_kernel(r3p_ref, r1p_ref, r1n_ref, r3n_ref, *refs, w: int,
     g1p = g1n = g3p = g3n = zero
     for fv in range(-mdis, mdis + 1):
         m = fpath == fv
-        g1p = g1p + jnp.where(m, at(r1p, fv), 0.0)
-        g1n = g1n + jnp.where(m, at(r1n, -fv), 0.0)
-        g3p = g3p + jnp.where(m, at(r3p, 3 * fv), 0.0)
-        g3n = g3n + jnp.where(m, at(r3n, -3 * fv), 0.0)
+        g1p = g1p + jnp.where(m, at(r1p, fv, 0, wk), 0.0)
+        g1n = g1n + jnp.where(m, at(r1n, -fv, 0, wk), 0.0)
+        g3p = g3p + jnp.where(m, at(r3p, 3 * fv, 0, wk), 0.0)
+        g3n = g3n + jnp.where(m, at(r3n, -3 * fv, 0, wk), 0.0)
     four_tap = (jnp.float32(0.5625) * (g1p + g1n)
                 - jnp.float32(0.0625) * (g3p + g3n))
     two_tap = (g1p + g1n) * jnp.float32(0.5)
@@ -205,15 +235,6 @@ def _fused_kernel(r3p_ref, r1p_ref, r1n_ref, r3n_ref, *refs, w: int,
     ok = (xs >= ad3) & (xs + ad3 <= w - 1)
     o_ref[...] = jnp.where(ok, four_tap, two_tap)
     fp_ref[...] = fpath
-
-
-def fused_fits(w: int, mdis: int, hp: bool) -> bool:
-    """The cost matrix for one 128-line block must fit the VMEM budget
-    (giant widths, e.g. 4K EEDI3H columns, fall back to the XLA path)."""
-    tp = (4 if hp else 2) * mdis + 1
-    tpp = -(tp // -8) * 8
-    wk = -((w - 1) // -_XC) * _XC + 1
-    return 128 * (wk + 7) * (tpp * 4 + tpp // 2) <= 80 * 1024 * 1024
 
 
 def _nl_for(w: int, tpp: int) -> int:
@@ -226,6 +247,44 @@ def _nl_for(w: int, tpp: int) -> int:
     per = max(w, 1) * (tpp * 4 + tpp // 2)  # f32 costs + packed piT words
     nl = budget // per
     return int(max(128, min(512, nl // 128 * 128)))
+
+
+_SEG_BUDGET = 56 * 1024 * 1024  # cost-scratch bytes per x segment
+
+
+def _seg_plan(wk: int, tpp: int, nl: int) -> tuple:
+    """Split the DP's chunk range into x segments whose cost scratch fits
+    the budget (one segment's costs live in VMEM at a time; the packed
+    backtrack words span the whole line).  Returns ((c0, segc), ...)."""
+    nchunks = (wk - 1) // _XC
+    per_chunk = tpp * _XC * nl * 4
+    segc_max = max(8, _SEG_BUDGET // per_chunk - 1)
+    nseg = -(nchunks // -segc_max)
+    segc = -(nchunks // -nseg)
+    segs, c0 = [], 0
+    while c0 < nchunks:
+        sc = min(segc, nchunks - c0)
+        segs.append((c0, sc))
+        c0 += sc
+    return tuple(segs)
+
+
+def fused_fits(w: int, mdis: int, hp: bool) -> bool:
+    """Whole-line state (packed backtrack + interp accumulators + padded
+    input rows) plus one x segment's cost scratch must fit the VMEM budget
+    (giant widths, e.g. 4K hp columns, still fall back to the XLA path)."""
+    tp = (4 if hp else 2) * mdis + 1
+    tpp = -(tp // -8) * 8
+    wk = -((w - 1) // -_XC) * _XC + 1
+    nl = _nl_for(w, tpp)
+    segs = _seg_plan(wk, tpp, nl)
+    segc_max = max(sc for _, sc in segs)
+    nchunks = (wk - 1) // _XC
+    costs = tpp * (_XC * segc_max + 8) * nl * 4
+    pit = nchunks * tpp * nl * 4
+    interp = (8 if hp else 4) * wk * nl * 4
+    fixed = 35 * 1024 * 1024  # inputs, hp rows, live values
+    return costs + pit + interp + fixed <= 105 * 1024 * 1024
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
@@ -265,9 +324,12 @@ def eedi3_fused_pallas(r3p, r1p, r1n, r3n, w: int, mdis: int, nrad: int,
     wpp = wk + 2 * PAD
     nb = blp // nl
 
+    segs = _seg_plan(wk, tpp, nl)
+    segc_max = max(sc for _, sc in segs)
     kern = functools.partial(
         _fused_kernel, w=w, wk=wk, mdis=mdis, nrad=nrad, alpha=alpha,
         beta=beta, omab=omab, gamma=gamma, nl=nl, use_mask=use_mask,
+        segs=segs,
     )
     zero = np.int32(0)
     in_spec = pl.BlockSpec((wpp, nl), lambda i: (zero, i),
@@ -286,7 +348,8 @@ def eedi3_fused_pallas(r3p, r1p, r1n, r3n, w: int, mdis: int, nrad: int,
         in_specs=[in_spec] * 4 + ([bm_spec] if use_mask else []),
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((tpp, wk + 7, nl), jnp.float32),  # costs (x at row x+7)
+            # one segment's costs (segment-local x at row x - x0 + 7)
+            pltpu.VMEM((tpp, _XC * segc_max + 8, nl), jnp.float32),
             pltpu.VMEM(((wk - 1) // _XC, tpp, nl), jnp.int32),  # packed piT
             pltpu.VMEM((wk, nl), jnp.float32),           # fpath (small ints)
         ],
@@ -301,16 +364,18 @@ def eedi3_fused_pallas(r3p, r1p, r1n, r3n, w: int, mdis: int, nrad: int,
 def _fused_kernel_hp(r3p_ref, r1p_ref, r1n_ref, r3n_ref, o_ref, fp_ref,
                      costs_ref, piT_ref, fpath_ref, *, w: int, wk: int,
                      mdis: int, nrad: int, alpha: float, beta: float,
-                     omab: float, gamma: float, nl: int):
+                     omab: float, gamma: float, nl: int, segs: tuple):
     """Half-pel variant (reference interpLineHP): 4*mdis+1 directions over
     full- and half-pel rows, +-2 DP transitions (3-bit-packed backtrack),
     8-tap directional interpolation with even/odd sub-pel blending."""
     cen = 2 * mdis
     tp = 2 * cen + 1
     tpp = costs_ref.shape[0]
+    ncols = costs_ref.shape[1]
     wpp = wk + 2 * PAD
     ext = cen
     xc = _XC
+    rr = cen + nrad  # widest base offset the window sums reach
 
     r3p = r3p_ref[...]
     r1p = r1p_ref[...]
@@ -339,49 +404,64 @@ def _fused_kernel_hp(r3p_ref, r1p_ref, r1n_ref, r3n_ref, o_ref, fp_ref,
     r1p_e, r1n_e, r3n_e = extend(r1p), extend(r1n), extend(r3n)
     hpB_e, hpC_e, hpD_e = extend(hpB), extend(hpC), extend(hpD)
 
-    def sh(x_e, t):
-        return jax.lax.slice(x_e, (ext - t, 0), (ext - t + wpp, nl))
+    def at(x_p, off, x0, swk):
+        return jax.lax.slice(
+            x_p, (PAD + off + x0, 0), (PAD + off + x0 + swk, nl))
 
-    def at(x_p, off):
-        return jax.lax.slice(x_p, (PAD + off, 0), (PAD + off + wk, nl))
+    def build_segment(c0: int, segc: int):
+        x0 = xc * c0
+        swk = xc * segc + 1
+        p0 = x0 + PAD - rr
+        plen = swk + 2 * rr
 
-    for u in range(-cen, cen + 1):
-        uh = u >> 1
-        odd = (u & 1) != 0
-        lo0 = (-uh - 1) if odd else -uh
-        B0, C0 = (hpB, hpC) if odd else (r1p, r1n)
-        base_m = (jnp.abs(r3p - sh(r1p_e, u))
-                  + jnp.abs(r1p - sh(r1n_e, u))
-                  + jnp.abs(r1n - sh(r3n_e, u)))
-        if odd:
-            base0 = (jnp.abs(hpA - sh(hpB_e, u))
-                     + jnp.abs(hpB - sh(hpC_e, u))
-                     + jnp.abs(hpC - sh(hpD_e, u)))
-        else:
-            base0 = base_m
+        def res(x_p):
+            return jax.lax.slice(x_p, (p0, 0), (p0 + plen, nl))
 
-        def b_at(b, off):
-            return jax.lax.slice(b, (PAD + off, 0), (PAD + off + wk, nl))
+        def shr(x_e, t):
+            return jax.lax.slice(
+                x_e, (ext - t + p0, 0), (ext - t + p0 + plen, nl))
 
-        s0 = s1 = s2 = None
-        for k in range(-nrad, nrad + 1):
-            t1 = b_at(base_m, k)
-            t2 = b_at(base_m, u + k)
-            t0 = b_at(base0, uh + k)
-            s1 = t1 if s1 is None else s1 + t1
-            s2 = t2 if s2 is None else s2 + t2
-            s0 = t0 if s0 is None else s0 + t0
-        ip = _nofma((at(B0, uh) + at(C0, lo0)) * jnp.float32(0.5))
-        v = jnp.abs(at(r1p, 0) - ip) + jnp.abs(at(r1n, 0) - ip)
-        cost_u = (_nofma(jnp.float32(alpha) * (s0 + s1 + s2))
-                  + jnp.float32(beta * abs(u) * 0.5)
-                  + _nofma(jnp.float32(omab) * v))
-        costs_ref[u + cen, 7 : 7 + wk, :] = cost_u
+        r3p_r, r1p_r, r1n_r = res(r3p), res(r1p), res(r1n)
+        hpA_r, hpB_r, hpC_r = res(hpA), res(hpB), res(hpC)
+        for u in range(-cen, cen + 1):
+            uh = u >> 1
+            odd = (u & 1) != 0
+            lo0 = (-uh - 1) if odd else -uh
+            B0, C0 = (hpB, hpC) if odd else (r1p, r1n)
+            base_m = (jnp.abs(r3p_r - shr(r1p_e, u))
+                      + jnp.abs(r1p_r - shr(r1n_e, u))
+                      + jnp.abs(r1n_r - shr(r3n_e, u)))
+            if odd:
+                base0 = (jnp.abs(hpA_r - shr(hpB_e, u))
+                         + jnp.abs(hpB_r - shr(hpC_e, u))
+                         + jnp.abs(hpC_r - shr(hpD_e, u)))
+            else:
+                base0 = base_m
+
+            def b_at(b, off):
+                return jax.lax.slice(b, (rr + off, 0), (rr + off + swk, nl))
+
+            s0 = s1 = s2 = None
+            for k in range(-nrad, nrad + 1):
+                t1 = b_at(base_m, k)
+                t2 = b_at(base_m, u + k)
+                t0 = b_at(base0, uh + k)
+                s1 = t1 if s1 is None else s1 + t1
+                s2 = t2 if s2 is None else s2 + t2
+                s0 = t0 if s0 is None else s0 + t0
+            ip = _nofma((at(B0, uh, x0, swk) + at(C0, lo0, x0, swk))
+                        * jnp.float32(0.5))
+            v = (jnp.abs(at(r1p, 0, x0, swk) - ip)
+                 + jnp.abs(at(r1n, 0, x0, swk) - ip))
+            cost_u = (_nofma(jnp.float32(alpha) * (s0 + s1 + s2))
+                      + jnp.float32(beta * abs(u) * 0.5)
+                      + _nofma(jnp.float32(omab) * v))
+            costs_ref[u + cen, 7 : 7 + swk, :] = cost_u
+
     for t in range(tp, tpp):
-        costs_ref[t] = jnp.full((wk + 7, nl), BIG, jnp.float32)
+        costs_ref[t] = jnp.full((ncols, nl), BIG, jnp.float32)
 
     # ---- DP forward: 5 transitions, 3-bit-packed backtrack (bd + 2) ----
-    pcost0 = costs_ref[:, 7, :]
     nchunks = (wk - 1) // xc
     big2 = jnp.full((2, nl), BIG, jnp.float32)
     gammas = (gamma, gamma * 0.5, 0.0, gamma * 0.5, gamma)
@@ -399,20 +479,29 @@ def _fused_kernel_hp(r3p_ref, r1p_ref, r1n_ref, r3n_ref, o_ref, fp_ref,
             bd = jnp.where(m, jnp.int32(i), bd)
         return jnp.minimum(bval + tcx, BIG), bd
 
-    def fwd_chunk(c, pcost):
-        s0 = jnp.int32(8) + c * jnp.int32(xc)
-        tcs = costs_ref[:, pl.ds(s0, xc), :]
-        word = jnp.zeros((tpp, nl), jnp.int32)
-        for k in range(xc):
-            pcost, bd = step(pcost, tcs[:, k, :])
-            bd = jnp.where(
-                jnp.int32(1 + k) + c * jnp.int32(xc) < jnp.int32(w),
-                bd, jnp.int32(2))  # delta 0
-            word = word | (bd << (3 * k))
-        piT_ref[c] = word
-        return pcost
+    def fwd_seg(c0: int):
+        def fwd_chunk(cl, pcost):
+            c = cl + jnp.int32(c0)
+            s0 = jnp.int32(8) + cl * jnp.int32(xc)
+            tcs = costs_ref[:, pl.ds(s0, xc), :]
+            word = jnp.zeros((tpp, nl), jnp.int32)
+            for k in range(xc):
+                pcost, bd = step(pcost, tcs[:, k, :])
+                bd = jnp.where(
+                    jnp.int32(1 + k) + c * jnp.int32(xc) < jnp.int32(w),
+                    bd, jnp.int32(2))  # delta 0
+                word = word | (bd << (3 * k))
+            piT_ref[c] = word
+            return pcost
+        return fwd_chunk
 
-    jax.lax.fori_loop(jnp.int32(0), jnp.int32(nchunks), fwd_chunk, pcost0)
+    pcost = None
+    for c0, segc in segs:
+        build_segment(c0, segc)
+        if c0 == 0:
+            pcost = costs_ref[:, 7, :]
+        pcost = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(segc), fwd_seg(c0), pcost)
 
     # ---- backtrack (f32 path values, see non-hp kernel) ----
     trow = jax.lax.broadcasted_iota(
@@ -445,14 +534,15 @@ def _fused_kernel_hp(r3p_ref, r1p_ref, r1n_ref, r3n_ref, o_ref, fp_ref,
     g3p_o = g1p_o = g1n_o = g3n_o = zero
     for fv in range(-cen, cen + 1):
         m = fpath == fv
-        g1p_e = g1p_e + jnp.where(m, at(r1p, fv >> 1), 0.0)
-        g1n_e = g1n_e + jnp.where(m, at(r1n, -(fv >> 1)), 0.0)
-        g3p_e = g3p_e + jnp.where(m, at(r3p, (3 * fv) >> 1), 0.0)
-        g3n_e = g3n_e + jnp.where(m, at(r3n, -((3 * fv) >> 1)), 0.0)
-        g3p_o = g3p_o + jnp.where(m, at(r3p, (3 * fv + 1) >> 1), 0.0)
-        g1p_o = g1p_o + jnp.where(m, at(r1p, (fv + 1) >> 1), 0.0)
-        g1n_o = g1n_o + jnp.where(m, at(r1n, -((fv + 1) >> 1)), 0.0)
-        g3n_o = g3n_o + jnp.where(m, at(r3n, -((3 * fv + 1) >> 1)), 0.0)
+        g1p_e = g1p_e + jnp.where(m, at(r1p, fv >> 1, 0, wk), 0.0)
+        g1n_e = g1n_e + jnp.where(m, at(r1n, -(fv >> 1), 0, wk), 0.0)
+        g3p_e = g3p_e + jnp.where(m, at(r3p, (3 * fv) >> 1, 0, wk), 0.0)
+        g3n_e = g3n_e + jnp.where(m, at(r3n, -((3 * fv) >> 1), 0, wk), 0.0)
+        g3p_o = g3p_o + jnp.where(m, at(r3p, (3 * fv + 1) >> 1, 0, wk), 0.0)
+        g1p_o = g1p_o + jnp.where(m, at(r1p, (fv + 1) >> 1, 0, wk), 0.0)
+        g1n_o = g1n_o + jnp.where(m, at(r1n, -((fv + 1) >> 1), 0, wk), 0.0)
+        g3n_o = g3n_o + jnp.where(
+            m, at(r3n, -((3 * fv + 1) >> 1), 0, wk), 0.0)
     xs = jax.lax.broadcasted_iota(jnp.int32, (wk, nl), 0)
     even = (fpath & 1) == 0
     d2 = fpath >> 1
@@ -510,9 +600,11 @@ def eedi3_fused_hp_pallas(r3p, r1p, r1n, r3n, w: int, mdis: int, nrad: int,
     wpp = wk + 2 * PAD
     nb = blp // nl
 
+    segs = _seg_plan(wk, tpp, nl)
+    segc_max = max(sc for _, sc in segs)
     kern = functools.partial(
         _fused_kernel_hp, w=w, wk=wk, mdis=mdis, nrad=nrad, alpha=alpha,
-        beta=beta, omab=omab, gamma=gamma, nl=nl,
+        beta=beta, omab=omab, gamma=gamma, nl=nl, segs=segs,
     )
     zero = np.int32(0)
     in_spec = pl.BlockSpec((wpp, nl), lambda i: (zero, i),
@@ -529,7 +621,7 @@ def eedi3_fused_hp_pallas(r3p, r1p, r1n, r3n, w: int, mdis: int, nrad: int,
         in_specs=[in_spec] * 4,
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((tpp, wk + 7, nl), jnp.float32),
+            pltpu.VMEM((tpp, _XC * segc_max + 8, nl), jnp.float32),
             pltpu.VMEM(((wk - 1) // _XC, tpp, nl), jnp.int32),
             pltpu.VMEM((wk, nl), jnp.float32),
         ],
