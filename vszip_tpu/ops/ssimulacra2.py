@@ -305,6 +305,21 @@ def _ssimulacra2_frames(planes1, planes2):
     )
 
 
+@partial(jax.jit, static_argnums=(2, 3))
+def _chunk_scores(c1: Clip, c2: Clip, lin1: bool, lin2: bool):
+    """Whole chunk pipeline (toRGBS + EOTF + metric) under ONE jit: the
+    eager per-op dispatch latency of the conversion chain (~1.5 ms/op on
+    the relay backend) dominated the fused metric otherwise.  c1/c2 carry
+    no props (the _Transfer check is hoisted to the static flags)."""
+    r1 = to_rgbs(c1)
+    r2 = to_rgbs(c2)
+    if not lin1:
+        r1 = srgb_to_linear(r1)
+    if not lin2:
+        r2 = srgb_to_linear(r2)
+    return _ssimulacra2_frames(tuple(r1.planes), tuple(r2.planes))
+
+
 def ssimulacra2(reference: Clip, distorted: Clip) -> Clip:
     """Returns a copy of `reference` carrying the per-frame prop
     SSIMULACRA2 (the reference props a copy of src1)."""
@@ -316,8 +331,8 @@ def ssimulacra2(reference: Clip, distorted: Clip) -> Clip:
         if (c.format.sample_type is SampleType.FLOAT
                 and c.format.bits_per_sample == 16):
             raise VSZipError(f"{FILTER_NAME}: half precision input is not supported.")
-    lin1 = srgb_to_linear(to_rgbs(reference))
-    lin2 = srgb_to_linear(to_rgbs(distorted))
+    lin1 = reference.props.get("_Transfer") == 8
+    lin2 = distorted.props.get("_Transfer") == 8
     # the pyramid holds a dozen full-frame f32 intermediates (sources + XYB;
     # the blur/map transients live in VMEM inside the fused kernel); chunk
     # the frame batch so transients stay well under HBM capacity
@@ -325,14 +340,18 @@ def ssimulacra2(reference: Clip, distorted: Clip) -> Clip:
     budget = 16 * 1080 * 1920
     chunk = max(1, budget // max(reference.width * reference.height, 1))
     n = reference.num_frames
+
+    def sub(clip, i):
+        return Clip(tuple(p[i : i + chunk] for p in clip.planes),
+                    clip.format, {})
+
     if n <= chunk:
-        scores = _ssimulacra2_frames(tuple(lin1.planes), tuple(lin2.planes))
+        scores = _chunk_scores(Clip(reference.planes, reference.format, {}),
+                               Clip(distorted.planes, distorted.format, {}),
+                               lin1, lin2)
     else:
-        parts = []
-        for i in range(0, n, chunk):
-            parts.append(_ssimulacra2_frames(
-                tuple(p[i : i + chunk] for p in lin1.planes),
-                tuple(p[i : i + chunk] for p in lin2.planes),
-            ))
+        parts = [_chunk_scores(sub(reference, i), sub(distorted, i),
+                               lin1, lin2)
+                 for i in range(0, n, chunk)]
         scores = jnp.concatenate(parts)
     return reference.with_props(SSIMULACRA2=scores)

@@ -315,11 +315,21 @@ def xpsnr(reference: Clip, distorted: Clip, temporal: bool = True,
         tuple(ref.planes), tuple(dist.planes), depth, frame_rate,
         bool(temporal), (widths, heights),
     )
-    # prop math stays on device (f64 but tiny): a np.asarray here would cost
-    # a full relay round trip per call and serialize batched scoring
-    max_err = float(((1 << depth) - 1) ** 2)
+    cur, avg = _prop_math(wsse, (widths, heights), depth)
     names = ["XPSNR_Y", "XPSNR_U", "XPSNR_V"]
-    props = {}
+    props = {names[c]: cur[:, c] for c in range(wsse.shape[1])}
+    props["XPSNR_AVG"] = avg
+    return distorted.with_props(**props)
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _prop_math(wsse, dims, depth: int):
+    # prop math stays on device (f64 but tiny) and under ONE jit: a
+    # np.asarray would cost a full relay round trip per call, and eager
+    # per-op dispatch latency (~1.5 ms each on the relay) would otherwise
+    # dwarf the stats kernel itself
+    widths, heights = dims
+    max_err = float(((1 << depth) - 1) ** 2)
     n = wsse.shape[0]
     sq = jnp.sqrt(wsse)  # (N, C)
     sum_wdist = jnp.sum(sq, axis=0)
@@ -329,16 +339,14 @@ def xpsnr(reference: Clip, distorted: Clip, temporal: bool = True,
     cur = jnp.where(
         sq < 1.0, jnp.inf,
         10.0 * jnp.log10(num64[None, :] / jnp.maximum(sq, 1.0) ** 2))
-    for c in range(wsse.shape[1]):
-        props[names[c]] = cur[:, c]
     # end-of-run aggregate (the reference prints this on free)
     ad = jnp.maximum(sum_wdist / n, 1e-300)
-    props["XPSNR_AVG"] = jnp.where(
+    avg = jnp.where(
         sum_wdist >= n,
         10.0 * jnp.log10(num64 / (ad * ad)),
         jnp.sum(cur, axis=0) / n,
     )
-    return distorted.with_props(**props)
+    return cur, avg
 
 
 def _promote(clip: Clip, bits: int) -> Clip:
