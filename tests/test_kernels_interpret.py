@@ -259,3 +259,36 @@ def test_ssim_sums_kernel_matches_xla(interp):
             [np.asarray(v) for v in sop._plane_sums_xla(im1, im2, ns, ne)],
             axis=1)
         np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+@pytest.mark.parametrize("blur_first", [True, False], ids=["bf", "nobf"])
+def test_deband_m2_kernel_matches_oracle(interp, blur_first):
+    """The fused m2 joint-alphabet band kernel vs the literal NumPy oracle
+    (bit-exact integer avg_4 arithmetic on identically resolved taps)."""
+    import jax.numpy as jnp
+
+    from oracle.deband_ref import deband_plane_ref
+    from vszip_tpu.kernels import deband_m2_pallas as kp
+
+    interp(kp)
+    rng = np.random.default_rng(7)
+    H, W, R = 96, 256, 15
+    x = rng.integers(0, 65536, (3, H, W), dtype=np.uint16)
+    ys = np.minimum(np.arange(H), H - 1 - np.arange(H))[:, None]
+    xs = np.minimum(np.arange(W), W - 1 - np.arange(W))[None, :]
+    cap = np.minimum(R, np.minimum(ys, xs))
+    v1 = np.clip(rng.integers(-R, R + 1, (H, W)), -cap, cap).astype(np.int32)
+    v2 = np.clip(rng.integers(-R, R + 1, (H, W)), -cap, cap).astype(np.int32)
+    thr = 12337
+
+    key = jnp.asarray((v1 + R) * (2 * R + 1) + (v2 + R))
+    got = np.asarray(kp.deband_m2_center_pallas(
+        jnp.asarray(x), key, blur_first, R, thr))
+
+    pre = dict(ref1_dy=v2, ref1_dx=v1, ref2_dy=-v1, ref2_dx=v2,
+               grain_y=np.zeros(W * H + 64, np.int16))
+    for n in range(x.shape[0]):
+        want = deband_plane_ref(
+            x[n], pre, False, 2, blur_first, False, (thr, 0, 0),
+            (0, 65535), 1.5, 0.15, W, "grain_y")
+        np.testing.assert_array_equal(got[n], want, err_msg=f"frame {n}")
