@@ -154,3 +154,50 @@ def test_colormap_errors(make_clip):
         colormap(make_clip("GRAY16"))
     with pytest.raises(VSZipError, match="between 0 and 21"):
         colormap(make_clip("GRAY8"), color=22)
+
+
+def test_png_low_bit_depths_and_interlace(tmp_path):
+    """1/2/4-bit grayscale and palette PNGs plus Adam7 interlacing — the
+    reference's zigimg decodes all of these (src/vapoursynth/image_read.zig);
+    PIL is the independent encoder here."""
+    PIL = pytest.importorskip("PIL.Image")
+    import io as _io
+
+    rng = np.random.default_rng(3)
+
+    # 1-bit gray (scales to 0/255 by bit replication), plain + interlaced
+    g1 = (rng.integers(0, 2, (23, 37)) * 255).astype(np.uint8)
+    for interlace, name in ((False, "g1.png"), (True, "g1i.png")):
+        buf = _io.BytesIO()
+        PIL.fromarray(g1).convert("1").save(
+            buf, format="PNG", interlace=interlace)
+        p = tmp_path / name
+        p.write_bytes(buf.getvalue())
+        clip = image_read(str(p))
+        assert clip.format.name == "GRAY8"
+        np.testing.assert_array_equal(np.asarray(clip.planes[0][0]), g1)
+
+    # 2- and 4-bit palette (palette PNGs load as RGB24 + alpha, like zigimg)
+    base = (rng.integers(0, 4, (23, 37)) * 80).astype(np.uint8)
+    img = PIL.fromarray(base, "L").convert(
+        "P", palette=PIL.ADAPTIVE, colors=4)
+    want = np.asarray(img.convert("RGB"))
+    for bits in (2, 4):
+        buf = _io.BytesIO()
+        img.save(buf, format="PNG", bits=bits)
+        p = tmp_path / f"pal{bits}.png"
+        p.write_bytes(buf.getvalue())
+        clip = image_read(str(p))
+        assert clip.format.name == "RGB24"
+        got = np.stack([np.asarray(pl[0]) for pl in clip.planes], axis=-1)
+        np.testing.assert_array_equal(got, want)
+
+    # interlaced 8-bit RGB
+    rgb = rng.integers(0, 256, (23, 37, 3), dtype=np.uint8)
+    buf = _io.BytesIO()
+    PIL.fromarray(rgb).save(buf, format="PNG", interlace=True)
+    p = tmp_path / "rgbi.png"
+    p.write_bytes(buf.getvalue())
+    clip = image_read(str(p))
+    got = np.stack([np.asarray(pl[0]) for pl in clip.planes], axis=-1)
+    np.testing.assert_array_equal(got, rgb)

@@ -3,8 +3,10 @@
 The reference uses the zigimg library (reference
 src/vapoursynth/image_read.zig); this is an independent stdlib-only decoder
 covering the formats the test suite and typical pipelines feed: PNG color
-types 0/2/3/4/6 at 8/16 bit, and uncompressed 24/32-bit BMP.  PNG color
-chunks (gAMA/sRGB/cHRM/cICP) are captured for the color-prop mapping.
+types 0/2/3/4/6 (grayscale at 1/2/4/8/16 bit, palette at 1/2/4/8 bit,
+RGB/alpha at 8/16 bit), Adam7 interlacing, and uncompressed 24/32-bit BMP.
+PNG color chunks (gAMA/sRGB/cHRM/cICP) are captured for the color-prop
+mapping.
 """
 
 from __future__ import annotations
@@ -75,6 +77,30 @@ def _unfilter_py(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+# Adam7 pass grids: (x0, y0, dx, dy)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _unpack_samples(rows: np.ndarray, w: int, nchan: int,
+                    depth: int) -> np.ndarray:
+    """(h, stride) unfiltered bytes -> (h, w, nchan) uint8/uint16 raw
+    samples (sub-byte depths unpacked MSB-first, not yet scaled)."""
+    h = rows.shape[0]
+    if depth == 16:
+        return (rows.reshape(h, -1).view(">u2").astype(np.uint16)
+                [:, : w * nchan].reshape(h, w, nchan))
+    if depth == 8:
+        return rows[:, : w * nchan].reshape(h, w, nchan)
+    per = 8 // depth
+    bits = np.unpackbits(rows, axis=1).reshape(h, -1, per, depth)
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    vals = (bits * weights).sum(axis=3, dtype=np.int32).reshape(h, -1)
+    return vals[:, : w * nchan].astype(np.uint8).reshape(h, w, nchan)
+
+
 def decode_png(data: bytes) -> DecodedImage:
     if data[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG file")
@@ -82,6 +108,7 @@ def decode_png(data: bytes) -> DecodedImage:
     idat = b""
     chunks: dict = {}
     w = h = depth = ctype = None
+    interlace = 0
     palette = None
     trns = None
     while pos < len(data):
@@ -93,8 +120,6 @@ def decode_png(data: bytes) -> DecodedImage:
             w, h, depth, ctype, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if interlace:
-                raise ValueError("interlaced PNG not supported")
         elif cid == b"PLTE":
             palette = np.frombuffer(body, np.uint8).reshape(-1, 3)
         elif cid == b"tRNS":
@@ -114,18 +139,38 @@ def decode_png(data: bytes) -> DecodedImage:
     if w is None:
         raise ValueError("missing IHDR")
     nchan = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
-    if depth not in (8, 16) and ctype != 3:
+    if ctype in (2, 4, 6) and depth not in (8, 16):
         raise ValueError(f"unsupported PNG bit depth {depth}")
-    if ctype == 3 and depth != 8:
-        raise ValueError("only 8-bit palette PNGs supported")
+    if ctype == 3 and depth not in (1, 2, 4, 8):
+        raise ValueError(f"unsupported PNG palette depth {depth}")
+    if ctype == 0 and depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"unsupported PNG bit depth {depth}")
     bpp = max(1, nchan * depth // 8)
-    stride = (w * nchan * depth + 7) // 8
     raw = zlib.decompress(idat)
-    rows = _unfilter(raw, h, stride, bpp)
-    if depth == 16:
-        px = rows.reshape(h, -1).view(">u2").astype(np.uint16).reshape(h, w, nchan)
+    if interlace:
+        # Adam7: seven independently filtered sub-image passes
+        if interlace != 1:
+            raise ValueError(f"bad PNG interlace method {interlace}")
+        px = np.zeros(
+            (h, w, nchan), np.uint16 if depth == 16 else np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = -((w - x0) // -dx)
+            hp = -((h - y0) // -dy)
+            if wp <= 0 or hp <= 0:
+                continue
+            sp = (wp * nchan * depth + 7) // 8
+            rows = _unfilter(raw[off : off + hp * (1 + sp)], hp, sp, bpp)
+            off += hp * (1 + sp)
+            px[y0::dy, x0::dx] = _unpack_samples(rows, wp, nchan, depth)
     else:
-        px = rows.reshape(h, w, nchan)
+        stride = (w * nchan * depth + 7) // 8
+        rows = _unfilter(raw, h, stride, bpp)
+        px = _unpack_samples(rows, w, nchan, depth)
+    if ctype == 0 and depth < 8:
+        # scale sub-byte gray to 8-bit by bit replication (0..2^d-1 -> 0..255)
+        px = (px.astype(np.uint16) * (255 // ((1 << depth) - 1))).astype(
+            np.uint8)
     if ctype == 3:
         idx = px[:, :, 0]
         rgb = palette[idx]
