@@ -95,19 +95,28 @@ def _fused_kernel(r3p_ref, r1p_ref, r1n_ref, r3n_ref, *refs, w: int,
                 x_e, (ext - t + p0, 0), (ext - t + p0 + plen, nl))
 
         r3p_r, r1p_r, r1n_r = res(r3p), res(r1p), res(r1n)
+        blen = plen - 2 * nrad
         for u in range(-mdis, mdis + 1):
             tu = 2 * u
             tb = (jnp.abs(r3p_r - shr(r1p_e, tu))
                   + jnp.abs(r1p_r - shr(r1n_e, tu))
                   + jnp.abs(r1n_r - shr(r3n_e, tu)))
 
-            def tb_at(off):
-                return jax.lax.slice(tb, (rr + off, 0), (rr + off + swk, nl))
-
-            s = None
+            # three separate window sums (reference costBlockDirect
+            # sw0/sw1/sw2, src/filters/eedi3.zig:326-333): one shared
+            # k-ascending box ladder, then three slices — bit-identical to
+            # the reference accumulation and ~3x fewer slice+adds than the
+            # per-k regrouping
+            bx = None
             for k in range(-nrad, nrad + 1):
-                term = tb_at(k + u) + tb_at(k) + tb_at(k + tu)
-                s = term if s is None else s + term
+                sh = jax.lax.slice(tb, (nrad + k, 0), (nrad + k + blen, nl))
+                bx = sh if bx is None else bx + sh
+
+            def b_at(off, bx=bx):
+                return jax.lax.slice(
+                    bx, (rr - nrad + off, 0), (rr - nrad + off + swk, nl))
+
+            s = (b_at(u) + b_at(0)) + b_at(tu)
             ip = _nofma((at(r1p, u, x0, swk) + at(r1n, -u, x0, swk))
                         * jnp.float32(0.5))
             v = (jnp.abs(at(r1p, 0, x0, swk) - ip)
@@ -438,17 +447,28 @@ def _fused_kernel_hp(r3p_ref, r1p_ref, r1n_ref, r3n_ref, o_ref, fp_ref,
             else:
                 base0 = base_m
 
-            def b_at(b, off):
-                return jax.lax.slice(b, (rr + off, 0), (rr + off + swk, nl))
+            # shared k-ascending box ladders (bit-identical to the separate
+            # per-x window accumulators), then slices for s1/s2/s0
+            blen = plen - 2 * nrad
 
-            s0 = s1 = s2 = None
-            for k in range(-nrad, nrad + 1):
-                t1 = b_at(base_m, k)
-                t2 = b_at(base_m, u + k)
-                t0 = b_at(base0, uh + k)
-                s1 = t1 if s1 is None else s1 + t1
-                s2 = t2 if s2 is None else s2 + t2
-                s0 = t0 if s0 is None else s0 + t0
+            def box(b):
+                acc = None
+                for k in range(-nrad, nrad + 1):
+                    sh = jax.lax.slice(b, (nrad + k, 0),
+                                       (nrad + k + blen, nl))
+                    acc = sh if acc is None else acc + sh
+                return acc
+
+            bm_box = box(base_m)
+            b0_box = bm_box if not odd else box(base0)
+
+            def b_at(bx, off):
+                return jax.lax.slice(
+                    bx, (rr - nrad + off, 0), (rr - nrad + off + swk, nl))
+
+            s1 = b_at(bm_box, 0)
+            s2 = b_at(bm_box, u)
+            s0 = b_at(b0_box, uh)
             ip = _nofma((at(B0, uh, x0, swk) + at(C0, lo0, x0, swk))
                         * jnp.float32(0.5))
             v = (jnp.abs(at(r1p, 0, x0, swk) - ip)

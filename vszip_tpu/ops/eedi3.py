@@ -124,12 +124,19 @@ def _costs_nonhp(r3p, r1p, r1n, r3n, mdis, nrad, alpha, beta, one_minus_ab):
         )
         # padded-space t_base: value at padded pos j is |a(j) - b(j - 2u)|
         tb = tb_parts[0] + tb_parts[1] + tb_parts[2]
-        s = None
+        # Three separate window sums exactly like the reference's
+        # costBlockDirect (src/filters/eedi3.zig:326-333 sw0/sw1/sw2): the
+        # box sum B(j) = sum_k tb(j+k) is one shifted ladder shared by all
+        # three (elementwise shifts don't change the k-ascending f32
+        # accumulation), then s = (B(x+u) + B(x)) + B(x+2u).
+        wp = tb.shape[-1]
+        tb_e = jnp.pad(tb, ((0, 0),) * (tb.ndim - 1) + ((nrad, nrad),))
+        bx = None
         for k in range(-nrad, nrad + 1):
-            term = (
-                _take_pad(tb, k + u) + _take_pad(tb, k) + _take_pad(tb, k + tu)
-            )
-            s = term if s is None else s + term
+            sh = jax.lax.slice_in_dim(tb_e, nrad + k, nrad + k + wp,
+                                      axis=tb.ndim - 1)
+            bx = sh if bx is None else bx + sh
+        s = (_take_pad(bx, u) + _take_pad(bx, 0)) + _take_pad(bx, tu)
         ip = (_take_pad(r1p, u) + _take_pad(r1n, -u)) * jnp.float32(0.5)
         v = jnp.abs(_take_pad(r1p, 0) - ip) + jnp.abs(_take_pad(r1n, 0) - ip)
         costs.append(
@@ -175,14 +182,24 @@ def _costs_hp(r3p, r1p, r1n, r3n, mdis, nrad, alpha3, beta255, one_minus_ab):
             )
         else:
             base0 = base_m
-        s0 = s1 = s2 = None
-        for k in range(-nrad, nrad + 1):
-            t1 = _take_pad(base_m, k)
-            t2 = _take_pad(base_m, u + k)
-            t0 = _take_pad(base0, uh + k)
-            s1 = t1 if s1 is None else s1 + t1
-            s2 = t2 if s2 is None else s2 + t2
-            s0 = t0 if s0 is None else s0 + t0
+        # separate k-ascending window sums (reference interpLineHP); the
+        # shared box ladder produces bit-identical accumulations
+        wp = base_m.shape[-1]
+
+        def box(b):
+            b_e = jnp.pad(b, ((0, 0),) * (b.ndim - 1) + ((nrad, nrad),))
+            acc = None
+            for k in range(-nrad, nrad + 1):
+                sh = jax.lax.slice_in_dim(b_e, nrad + k, nrad + k + wp,
+                                          axis=b.ndim - 1)
+                acc = sh if acc is None else acc + sh
+            return acc
+
+        bm_box = box(base_m)
+        b0_box = bm_box if not odd else box(base0)
+        s1 = _take_pad(bm_box, 0)
+        s2 = _take_pad(bm_box, u)
+        s0 = _take_pad(b0_box, uh)
         ip = (_take_pad(B0, uh) + _take_pad(C0, lo0)) * jnp.float32(0.5)
         v = jnp.abs(_take_pad(r1p, 0) - ip) + jnp.abs(_take_pad(r1n, 0) - ip)
         costs.append(
