@@ -37,21 +37,34 @@ def _clahe8_kernel(x_ref, tab_ref, ya_ref, xa_ref, o_ref, *, rx_n: int,
         c0 = rx * tile_w
         sub = x_ref[0, :, c0 : c0 + tile_w].astype(jnp.int32)
 
-        # 16-way unrolled select chain: a plain 256-step fori spends most of
-        # its time on loop bookkeeping
-        U = 16
+        # nibble-split mux: a 256-way mux needs 255 two-way selects however
+        # it is shaped, but keying the selects off BITS of the pixel value
+        # drops the old chain's 256 per-bin compares.  A fully unrolled
+        # 8-level bit tree compiles for minutes in Mosaic (255 live
+        # band-sized wheres), so split it: fori over the high nibble
+        # (dynamic SMEM scalar reads), per group an unrolled 15-select mux
+        # tree over the low-nibble bits — 16*(15+2) ~ 272 VPU ops/pixel vs
+        # ~512 for the cmp+sel chain, with a ~17-where loop body that
+        # compiles in seconds.
+        lo4 = sub & jnp.int32(15)
+        hi4 = sub >> 4
+        bits = [((lo4 >> b) & jnp.int32(1)) == 1 for b in range(4)]
 
-        def body(g, acc, sub=sub, rx=rx):
-            base = g * jnp.int32(U)
-            for k in range(U):
-                i = base + jnp.int32(k)
-                tv = tab_ref[0, 0, rx * HIST + i]
-                acc = jnp.where(sub == i, tv, acc)
-            return acc
+        def body(g, acc, rx=rx, hi4=hi4, bits=bits):
+            base = rx * HIST + g * jnp.int32(16)
 
-        acc0 = jnp.full(sub.shape, tab_ref[0, 0, rx * HIST], jnp.int32)
-        acc = jax.lax.fori_loop(jnp.int32(0), jnp.int32(HIST // U), body,
-                                acc0)
+            def node(off, span):
+                if span == 1:
+                    return tab_ref[0, 0, base + off]
+                half = span // 2
+                return jnp.where(bits[half.bit_length() - 1],
+                                 node(off + half, half), node(off, half))
+
+            return jnp.where(hi4 == g, node(0, 16), acc)
+
+        acc = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(16), body,
+            jnp.zeros(sub.shape, jnp.int32))
         l0 = (acc & jnp.int32(255)).astype(jnp.float32)
         l1 = ((acc >> 8) & jnp.int32(255)).astype(jnp.float32)
         l2 = ((acc >> 16) & jnp.int32(255)).astype(jnp.float32)
