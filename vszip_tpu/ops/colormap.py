@@ -54,18 +54,28 @@ def _lut(color: int) -> tuple:
 
 @partial(jax.jit, static_argnums=(1,))
 def _apply(x, color: int):
-    # per-pixel LUT via a scalar select-chain instead of gathers (serialized
+    # per-pixel LUT via a bit-keyed mux tree instead of gathers (serialized
     # on TPU) or a broadcast compare-reduce (whose (N,H,256,W) operand XLA
     # materializes in HBM at production batch sizes).  The three channel
-    # LUTs pack into one i32 constant per bin, so the chain is 256 compares
-    # + 256 selects per pixel, fully fused as one elementwise kernel.
+    # LUTs pack into one i32 constant per bin; a 256-way mux costs 255
+    # two-way selects however it is shaped, but keying each tree level off
+    # one BIT of the pixel value drops the per-bin compares of a linear
+    # select chain (255 sel + 8 bit tests vs 256 cmp + 256 sel), all fused
+    # as one elementwise kernel.
     r, g, b = _lut(color)
     packed = (r.astype(np.int32) | (g.astype(np.int32) << 8)
               | (b.astype(np.int32) << 16))
     v = x.astype(jnp.int32)
-    acc = jnp.full_like(v, np.int32(packed[0]))
-    for i in range(1, 256):
-        acc = jnp.where(v == i, np.int32(packed[i]), acc)
+    bits = [((v >> k) & jnp.int32(1)) == 1 for k in range(8)]
+
+    def node(base, span):
+        if span == 1:
+            return np.int32(packed[base])
+        half = span // 2
+        return jnp.where(bits[half.bit_length() - 1],
+                         node(base + half, half), node(base, half))
+
+    acc = node(0, 256)
     ru = (acc & 255).astype(jnp.uint8)
     gu = ((acc >> 8) & 255).astype(jnp.uint8)
     bu = ((acc >> 16) & 255).astype(jnp.uint8)
