@@ -60,6 +60,15 @@ def pytest_sessionfinish(session, exitstatus):
         store.save()
 
 
+def pytest_terminal_summary(terminalreporter, exitstatus, config):
+    store = getattr(config, "_golden_store", None)
+    if store is not None and (store.ref_checked or store.self_checked):
+        terminalreporter.write_line(
+            f"goldens: {store.ref_checked} REFERENCE-pinned comparisons, "
+            f"{store.self_checked} self-pinned"
+        )
+
+
 @pytest.fixture(scope="session")
 def golden(request):
     return request.config._golden_store
@@ -91,7 +100,9 @@ def make_clip(src_rgb):
 
 @pytest.fixture(scope="session")
 def make_temporal_clip():
-    """Factory: 3-frame vertically-shifted clip for temporal filters."""
+    """Factory: 3-frame vertically-shifted clip for temporal filters.
+    Converted with Point resize like the reference (tests/conftest.py:161):
+    Point preserves the dot-crawl-like detail temporal filters react to."""
     from fixtures import convert, geometry_variant, temporal_rgb24
 
     cache = {}
@@ -100,7 +111,7 @@ def make_temporal_clip():
     def make(fmt_name: str, geometry: str = "full"):
         key = (fmt_name, geometry)
         if key not in cache:
-            cache[key] = geometry_variant(convert(base, fmt_name), geometry)
+            cache[key] = geometry_variant(convert(base, fmt_name, "point"), geometry)
         return cache[key]
 
     return make

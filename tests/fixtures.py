@@ -9,13 +9,14 @@ the reference's exact geometry (left = width-640, bottom = height-320), so
 content-level comparisons against reference numbers (e.g. the SSIMULACRA2
 68.625 anchor) are meaningful.  Set VSZIP_TEST_IMAGE to point elsewhere.
 
-Format conversions mirror the fixture pipeline's semantics:
-* RGB -> YUV via BT.709 limited-range matrix (the reference uses matrix=1),
-  box-averaged chroma subsampling for 4:2:0/4:2:2 (documented deviation:
-  the reference resamples through zimg Bilinear).
-* integer depth changes by bit shift (zimg's integer depth conversion),
-  float formats normalized so limited-range maps to [0,1] luma / [-0.5,0.5]
-  chroma and RGB to [0,1].
+Format conversions are zimg-exact (tests/zimg_exact.py): u8 -> f32 by
+reciprocal multiply, BT.709 matrix as an f32 FMA chain, chroma resampled
+through the reference's `resize.Bilinear(format=..., matrix=1)` semantics
+(Point for the temporal clip, matching reference tests/conftest.py:161), and
+limited-range FMA quantization.  This makes the converted planes match the
+reference fixture pipeline to round-to-nearest ties (validated bit-exactly on
+the YUV444P16/YUV420PS pins in test_zimg_convert.py), so the reference's own
+golden JSONs are directly comparable.
 Geometry variants reproduce the reference's full/odd/tiny scheme
 (reference tests/conftest.py:108-121).
 """
@@ -28,8 +29,8 @@ from pathlib import Path
 
 import numpy as np
 
+import zimg_exact
 from vszip_tpu import Clip, get_format
-from vszip_tpu.core.format import ColorFamily, SampleType
 
 W, H = 640, 320
 
@@ -73,73 +74,31 @@ def temporal_rgb24() -> Clip:
 
 
 # ---------------------------------------------------------------------------
-# conversions
+# conversions (zimg-exact; see tests/zimg_exact.py)
 # ---------------------------------------------------------------------------
 
-# BT.709 RGB -> YCbCr coefficients
-_KR, _KB = 0.2126, 0.0722
-_KG = 1.0 - _KR - _KB
 
-
-def _rgb_to_yuv_f(r, g, b):
-    """Full-range [0,1] RGB -> analog Y [0,1], Cb/Cr [-0.5, 0.5] (BT.709)."""
-    y = _KR * r + _KG * g + _KB * b
-    cb = (b - y) / (2.0 * (1.0 - _KB))
-    cr = (r - y) / (2.0 * (1.0 - _KR))
-    return y, cb, cr
-
-
-def _box_down(a: np.ndarray, fw: int, fh: int) -> np.ndarray:
-    """Box-average downsample of (N,H,W) by integer factors."""
-    n, h, w = a.shape
-    return a.reshape(n, h // fh, fh, w // fw, fw).mean(axis=(2, 4))
-
-
-def convert(clip: Clip, fmt_name: str) -> Clip:
-    """Convert an RGB24 source clip to the named format."""
+def convert(clip: Clip, fmt_name: str, filt: str = "bilinear") -> Clip:
+    """Convert an RGB24 source clip to the named format, reproducing the
+    reference fixtures' `resize.Bilinear(format=fmt, matrix=1)`
+    (reference tests/conftest.py:99-105; filt="point" reproduces the temporal
+    fixture's resize.Point, reference tests/conftest.py:161)."""
     fmt = get_format(fmt_name)
     src = clip.numpy()
-    r, g, b = (p.astype(np.float64) / 255.0 for p in src.planes)
+    if fmt.name == clip.format.name:
+        return Clip.from_planes([np.asarray(p) for p in src.planes], fmt, src.props)
+    out = zimg_exact.convert_rgb24(tuple(np.asarray(p) for p in src.planes), fmt, filt)
+    return Clip.from_planes(out, fmt, src.props)
 
-    if fmt.color_family is ColorFamily.RGB:
-        planes = [r, g, b]
-        if fmt.sample_type is SampleType.FLOAT:
-            out = [p.astype(fmt.storage_dtype) for p in planes]
-        else:
-            peak = (1 << fmt.bits_per_sample) - 1
-            # integer RGB depth change: shift semantics (v << (bits-8))
-            shift = 1 << (fmt.bits_per_sample - 8)
-            out = [
-                (np.clip(np.round(p * 255.0), 0, 255) * shift).astype(fmt.storage_dtype)
-                if fmt.bits_per_sample > 8
-                else np.clip(np.round(p * 255.0), 0, peak).astype(fmt.storage_dtype)
-                for p in planes
-            ]
-        return Clip.from_planes(out, fmt, src.props)
 
-    y, cb, cr = _rgb_to_yuv_f(r, g, b)
-    fw, fh = 1 << fmt.subsampling_w, 1 << fmt.subsampling_h
-    if fw > 1 or fh > 1:
-        cb = _box_down(cb, fw, fh)
-        cr = _box_down(cr, fw, fh)
-
-    if fmt.color_family is ColorFamily.GRAY:
-        chans = [(y, False)]
-    else:
-        chans = [(y, False), (cb, True), (cr, True)]
-
-    out = []
-    for v, chroma in chans:
-        if fmt.sample_type is SampleType.FLOAT:
-            out.append(v.astype(fmt.storage_dtype))
-        else:
-            sh = fmt.bits_per_sample - 8
-            if chroma:
-                q = np.round(v * 224.0 + 128.0)
-            else:
-                q = np.round(v * 219.0 + 16.0)
-            q = np.clip(q, 0, 255) * (1 << sh)
-            out.append(q.astype(fmt.storage_dtype))
+def convert_sized(clip: Clip, fmt_name: str, width: int, height: int) -> Clip:
+    """`rgb.resize.Bilinear(width=, height=, format=fmt, matrix=1)` — used by
+    the XPSNR extended cases (reference tests/test_xpsnr.py:36-39)."""
+    fmt = get_format(fmt_name)
+    src = clip.numpy()
+    out = zimg_exact.convert_rgb24(
+        tuple(np.asarray(p) for p in src.planes), fmt, "bilinear", width, height
+    )
     return Clip.from_planes(out, fmt, src.props)
 
 

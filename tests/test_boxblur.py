@@ -11,32 +11,47 @@ from oracle.boxblur_ref import boxblur_ref
 from vszip_tpu import VSZipError
 from vszip_tpu.ops.boxblur import boxblur
 
+# The reference's exact case list (reference tests/test_boxblur.py:13-49), so
+# every id resolves against the reference's own goldens/boxblur.json values.
 # Radii straddle the comptime/runtime dispatch boundary (1..22 -> comptime,
-# 23+/asymmetric/multipass -> runtime), mirroring reference test selection.
-CASES = sweep(
-    base_fmt="GRAY16",
-    base_args={"hradius": 13, "vradius": 13},
-    formats=("GRAY8", "GRAY16", "GRAYH", "GRAYS", "YUV420P8", "YUV420P16",
-             "YUV422P16", "YUV440P8", "RGB48", "YUV444PS"),
-    args=(
-        {"hradius": 1, "vradius": 1},
-        {"hradius": 8, "vradius": 8},
-        {"hradius": 22, "vradius": 22},
-        {"hradius": 23, "vradius": 23},
-        {"hradius": 40, "vradius": 40},
-        {"hradius": 5, "vradius": 0, "vpasses": 0},
-        {"hradius": 0, "hpasses": 0, "vradius": 7},
-        {"hradius": 5, "hpasses": 2, "vradius": 5, "vpasses": 1},
-        {"hradius": 5, "hpasses": 1, "vradius": 5, "vpasses": 2},
-        {"hradius": 5, "hpasses": 3, "vradius": 5, "vpasses": 3},
-        {"hradius": 3, "vradius": 9},
-    ),
-    geometries=("odd",),
-) + [
-    Case("GRAY16", "tiny", {"hradius": 3, "vradius": 3}),
-    Case("GRAY16", "tiny", {"hradius": 2, "vradius": 1, "hpasses": 2}),
-    Case("GRAYS", "tiny", {"hradius": 3, "vradius": 3}),
-]
+# 23+/asymmetric/multipass -> runtime).
+CASES = (
+    sweep(
+        base_fmt="GRAY16",
+        base_args={"hradius": 2, "vradius": 2},
+        formats=("GRAY8", "GRAY16", "GRAYH", "GRAYS", "YUV420P8", "YUV420P16",
+                 "RGBS"),
+        args=(
+            {"hradius": 1, "vradius": 1},
+            {"hradius": 8, "vradius": 8},
+            {"hradius": 22, "vradius": 22},
+            {"hradius": 23, "vradius": 23},
+            {"hradius": 40, "vradius": 40},
+            {"hradius": 4, "vradius": 9},
+            {"hradius": 9, "vradius": 4},
+            {"hradius": 7, "vradius": 0, "vpasses": 0},
+            {"hradius": 0, "hpasses": 0, "vradius": 7},
+            {"hradius": 5, "vradius": 5, "hpasses": 2, "vpasses": 1},
+            {"hradius": 5, "vradius": 5, "hpasses": 1, "vpasses": 2},
+            {"hradius": 5, "vradius": 5, "hpasses": 3, "vpasses": 3},
+        ),
+        geometries=("odd", "tiny"),
+    )
+    + [
+        Case("YUV420P16", args={"hradius": 5, "vradius": 5, "planes": [0]}),
+        Case("YUV420P16", args={"hradius": 5, "vradius": 5, "planes": [1, 2]}),
+        Case("RGBS", args={"hradius": 6, "vradius": 3, "hpasses": 2, "vpasses": 3}),
+        Case("GRAYH", args={"hradius": 6, "vradius": 3, "hpasses": 2, "vpasses": 2}),
+    ]
+    # extra self-pinned coverage beyond the reference list (subsampling
+    # variants + large-format sanity)
+    + [
+        Case("YUV422P16", args={"hradius": 13, "vradius": 13}),
+        Case("YUV440P8", args={"hradius": 13, "vradius": 13}),
+        Case("RGB48", args={"hradius": 13, "vradius": 13}),
+        Case("YUV444PS", args={"hradius": 13, "vradius": 13}),
+    ]
+)
 
 
 @pytest.mark.parametrize("case", CASES, ids=str)
@@ -44,6 +59,27 @@ def test_golden(golden, make_clip, case):
     clip = make_clip(case.fmt, case.geometry)
     out = boxblur(clip, **case.args)
     golden.check("boxblur", case, out)
+
+
+# Reference-pinned literal averages (reference tests/test_boxblur.py:59-64,
+# values carried from its old .vpy suite; same source pipeline).
+REF_AVGS = [
+    ("GRAYS", {"hradius": 30, "vradius": 60, "hpasses": 6, "vpasses": 8},
+     0.49595518544825606),
+    ("GRAYS", {"hradius": 3, "vradius": 3}, 0.49599070191539796),
+    ("GRAY16", {"hradius": 30, "vradius": 33, "hpasses": 1, "vpasses": 3},
+     0.4867611337214847),
+    ("GRAY16", {"hradius": 10, "vradius": 10}, 0.4869014934022612),
+]
+
+
+@pytest.mark.parametrize(("fmt", "args", "expected"), REF_AVGS,
+                         ids=lambda v: str(v)[:32])
+def test_reference_literal_averages(make_clip, fmt, args, expected):
+    from golden import plane_stats
+
+    out = boxblur(make_clip(fmt), **args)
+    assert plane_stats(out)["avg"] == pytest.approx(expected, rel=1e-6)
 
 
 ORACLE_CASES = [

@@ -7,23 +7,58 @@ from golden import Case, sweep
 from vszip_tpu import VSZipError
 from vszip_tpu.ops.limiter import limiter
 
-CASES = sweep(
-    base_fmt="YUV420P16",
-    base_args={},
-    formats=("GRAY8", "GRAY16", "GRAY32", "GRAYS", "YUV420P8", "YUV420P16",
-             "YUV444PS", "YUV440P16", "RGB24", "RGB48", "RGBS"),
-    args=(
-        {"tv_range": True},
-        {"tv_range": True, "mask": True},
-        {"min": [4096, 8192, 8192], "max": [60000, 60000, 60000]},
-        {"planes": [0]},
-    ),
-    geometries=("odd", "tiny"),
-) + [
-    Case("RGB24", "full", {"tv_range": True}),
-    Case("YUV444PS", "full", {"tv_range": True}),
-    Case("GRAY8", "full", {"min": [16], "max": [100]}),
-]
+# The reference's exact case list (reference tests/test_limiter.py:12-71),
+# so ids resolve against the reference's own goldens/limiter.json.
+CASES = (
+    sweep(
+        base_fmt="GRAY16",
+        base_args={"min": [10000], "max": [50000]},
+        args=(
+            {"min": [20000], "max": [40000]},
+            {"min": [0], "max": [30000]},
+            {"min": [30000], "max": [65535]},
+        ),
+        geometries=("odd", "tiny"),
+    )
+    + [
+        Case("GRAY16", args={"min": [10000], "max": [50000]}),
+        Case("GRAY8", args={"min": [50], "max": [200]}),
+        Case("GRAYH", args={"min": [0.2], "max": [0.8]}),
+        Case("GRAYS", args={"min": [0.2], "max": [0.8]}),
+        Case("GRAY9", args={"min": [100], "max": [400]}),
+        Case("YUV420P9", args={"min": [100, 300, 100], "max": [400, 450, 380]}),
+        Case("GRAY12", args={"min": [800], "max": [3000]}),
+        Case("YUV444P12", args={"min": [800, 2300, 600], "max": [3000, 3600, 3000]}),
+        Case("GRAY14", args={"min": [3000], "max": [12000]}),
+        Case("YUV422P14", args={"min": [3000, 9000, 2000], "max": [12000, 14500, 12000]}),
+        Case("YUV420P8", args={"min": [40, 20, 30], "max": [200, 220, 190]}),
+        Case("YUV420P10", args={"min": [200, 100, 100], "max": [800, 900, 850]}),
+        Case("YUV444P16", args={"min": [10000, 20000, 10000], "max": [50000, 55000, 45000]}),
+        Case("YUV420PS", args={"min": [0.1, -0.4, -0.4], "max": [0.9, 0.4, 0.4]}),
+        Case("RGB24", args={"min": [20, 20, 100], "max": [180, 200, 250]}),
+        Case("RGBS", args={"min": [0.1, 0.1, 0.1], "max": [0.7, 0.7, 0.99]}),
+        Case("RGBH", args={"min": [0.1, 0.1, 0.1], "max": [0.7, 0.7, 0.99]}),
+        Case("YUV444P16", args={"min": [8143, 0, 0], "max": [56803, 65535, 65535]}),
+        Case("YUV444P16", args={"min": [10000, 20000, 10000],
+                                "max": [50000, 55000, 45000], "planes": [0]}),
+        Case("YUV444P16", args={"min": [10000, 20000, 10000],
+                                "max": [50000, 55000, 45000], "planes": [1, 2]}),
+        Case("RGB24", args={"min": [20, 20, 100], "max": [180, 200, 250],
+                            "planes": [0, 2]}),
+        Case("RGB24", args={"tv_range": True}),
+        Case("RGB27", args={"tv_range": True}),
+        Case("RGB36", args={"tv_range": True}),
+        Case("RGB48", args={"tv_range": True}),
+        Case("YUV420PS", args={"mask": True}),
+        Case("YUV420PH", args={"mask": True}),
+    ]
+    # extra self-pinned coverage beyond the reference list
+    + [
+        Case("YUV444PS", args={"tv_range": True}),
+        Case("YUV440P16", args={"min": [4096, 8192, 8192],
+                                "max": [60000, 60000, 60000]}),
+    ]
+)
 
 
 @pytest.mark.parametrize("case", CASES, ids=str)

@@ -1,55 +1,76 @@
-"""PlaneAverage tests."""
+"""PlaneAverage tests (reference tests/test_planeaverage.py case list, so the
+golden ids resolve against the reference's own goldens/planeaverage.json)."""
 
 import numpy as np
 import pytest
 
-from golden import Case, sweep
+import vsstd
+from golden import Case, grid, sweep
 from vszip_tpu import VSZipError
-from vszip_tpu.ops.boxblur import boxblur
 from vszip_tpu.ops.planeaverage import plane_average
 
-CASES = sweep(
-    base_fmt="YUV420P16",
-    base_args={},
-    formats=("GRAY8", "GRAY16", "GRAY32", "GRAYH", "GRAYS",
-             "YUV420P8", "YUV420P16", "YUV444PS", "RGB24", "RGBS"),
-    args=(
-        {"planes": [0, 1, 2]},
-        {"exclude": [0, 65535]},
-        {"with_b": 1},
-        {"with_b": 1, "planes": [0, 1, 2]},
-    ),
-    geometries=("odd", "tiny"),
-) + [
-    # planes subsets (reference tests/test_planeaverage.py:45-52)
-    Case("YUV420P8", "full", {"planes": [1]}),
-    Case("YUV420P8", "full", {"planes": [0, 2]}),
-    Case("RGB24", "full", {"planes": [0, 1, 2]}),
-    Case("RGBS", "full", {"planes": [0, 1, 2]}),
-    # active exclude on multi-plane
-    Case("YUV420P8", "full", {"exclude": [128], "planes": [0, 1, 2]}),
-    # prop rename with an active exclude
-    Case("GRAY8", "full", {"exclude": [128], "prop": "myavg"}),
-    # float clipb diff branch (diffacc/total, no peak division)
-    Case("GRAYS", "full", {"with_b": 1}),
-]
+_FORMATS = ("GRAY8", "GRAY16", "GRAYH", "GRAYS", "YUV420P8", "YUV420P16",
+            "YUV444PS", "RGB24", "RGBS")
+
+CASES = (
+    sweep(
+        base_fmt="GRAY8",
+        base_args={"exclude": [-1]},
+        formats=_FORMATS,
+        args=grid(exclude=[[-1], [128], [100, 150, 200]])
+        + [{"exclude": [128], "prop": "myavg"}],
+        geometries=("odd", "tiny"),
+    )
+    + [
+        Case("YUV420P8", args={"exclude": [-1], "planes": [0, 1, 2]}),
+        Case("YUV420P8", args={"exclude": [-1], "planes": [1]}),
+        Case("YUV420P8", args={"exclude": [-1], "planes": [0, 2]}),
+        Case("YUV420P16", args={"exclude": [-1], "planes": [0, 1, 2]}),
+        Case("RGB24", args={"exclude": [-1], "planes": [0, 1, 2]}),
+        Case("RGBS", args={"exclude": [-1], "planes": [0, 1, 2]}),
+        Case("YUV420P8", args={"exclude": [128], "planes": [0, 1, 2]}),
+        # clipb diff mode (std.BoxBlur companions, reference :71-73)
+        Case("GRAY16", args={"exclude": [-1]}, variant="ref1"),
+        Case("GRAY16", args={"exclude": [-1]}, variant="ref3"),
+        Case("YUV420P8", args={"exclude": [-1], "planes": [0, 1, 2]}, variant="ref3"),
+        Case("GRAYS", args={"exclude": [-1]}, variant="ref3"),
+        Case("RGBS", args={"exclude": [-1], "planes": [0, 1, 2]}, variant="ref3"),
+        Case("GRAY16", args={"exclude": [5000], "prop": "myavg"}, variant="ref3"),
+    ]
+)
 
 
-def _run(make_clip, case):
-    args = dict(case.args)
-    with_b = args.pop("with_b", 0)
-    clip = make_clip(case.fmt, case.geometry)
-    clipb = boxblur(clip, hradius=2, vradius=2, planes=[0]) if with_b else None
-    return plane_average(clip, clipb=clipb, **args)
+def _ref_clip(src, variant: str):
+    radius = {"ref1": 1, "ref3": 3}[variant]
+    return vsstd.boxblur(src, hradius=radius, vradius=radius)
+
+
+def _prop_value(out, case) -> dict:
+    """Reference value shape: {"avg": float-or-list[, "diff": ...]}; a float
+    for one processed plane, a list for several
+    (reference tests/test_planeaverage.py:85-93)."""
+    name = case.args.get("prop", "psm")
+
+    def get(key):
+        v = np.asarray(out.props[key]).reshape(-1).tolist()
+        return v[0] if len(v) == 1 else v
+
+    vals = {"avg": get(f"{name}Avg")}
+    if case.variant.startswith("ref"):
+        vals["diff"] = get(f"{name}Diff")
+    return vals
 
 
 @pytest.mark.parametrize("case", CASES, ids=str)
 def test_golden(golden, make_clip, case):
-    if case.geometry == "tiny" and "with_b" in case.args and case.fmt.startswith("YUV"):
-        pytest.skip("tiny chroma too small for helper blur")
-    out = _run(make_clip, case)
-    vals = {k: np.asarray(v)[0].tolist() for k, v in out.props.items()}
-    golden.check_value("planeaverage", case, vals)
+    clip = make_clip(case.fmt, case.geometry)
+    kwargs = dict(case.args)
+    if case.variant.startswith("ref"):
+        kwargs["clipb"] = _ref_clip(clip, case.variant)
+    out = plane_average(clip, **kwargs)
+    is_f16 = case.fmt.endswith("H")
+    rel = 1e-3 if is_f16 else 1e-6
+    golden.check_value("planeaverage", case.id, _prop_value(out, case), rel=rel)
 
 
 def test_avg_matches_numpy(make_clip):
@@ -73,6 +94,8 @@ def test_exclude(make_clip):
 
 
 def test_diff(make_clip):
+    from vszip_tpu.ops.boxblur import boxblur
+
     clip = make_clip("GRAY8")
     blurred = boxblur(clip, hradius=2, vradius=2)
     out = plane_average(clip, clipb=blurred)
