@@ -39,7 +39,22 @@ REF_GOLDENS_DIR = Path(
 # Case-id patterns (fnmatch, per filter) compared against SELF-pinned goldens
 # instead of the reference values, each with a documented reason.  Keep this
 # list short and justified: every entry is a known, measured deviation.
-REF_EXCLUDE: dict[str, list[tuple[str, str]]] = {}
+REF_EXCLUDE: dict[str, list[tuple[str, str]]] = {
+    "boxblur": [
+        # The reference float path chains a sliding f32 accumulator per pass
+        # (reference src/filters/boxblur_runtime.zig); its rounding drift
+        # accumulates across passes.  Our kernels evaluate each window as an
+        # exact f32 tap ladder (better-conditioned), so multipass float
+        # results differ by ~5e-6 rel (single-pass float cases match at
+        # 1e-6).  Measured: GRAYH avg 0.49595077 vs 0.49594813; RGBS min
+        # 0.0 vs 1.36e-07 (the reference's accumulator residue where the
+        # true window sum is zero).
+        ("RGBS|full|hpasses=2,hradius=6,vpasses=3,vradius=3",
+         "float multipass sliding-accumulator drift"),
+        ("GRAYH|full|hpasses=2,hradius=6,vpasses=2,vradius=3",
+         "float multipass sliding-accumulator drift"),
+    ],
+}
 
 
 def ref_excluded(filter_name: str, key: str) -> str | None:

@@ -1,28 +1,61 @@
-"""AdaptiveBinarize tests."""
+"""AdaptiveBinarize tests (reference tests/test_adaptive_binarize.py case
+list; companion clip2 is the reference's std.BoxBlur via tests/vsstd.py)."""
 
 import numpy as np
 import pytest
 
-from golden import Case, sweep
+import vsstd
+from golden import Case, grid, sweep
 from vszip_tpu import VSZipError
 from vszip_tpu.ops.adaptive_binarize import adaptive_binarize
 from vszip_tpu.ops.boxblur import boxblur
 
-CASES = sweep(
-    base_fmt="GRAY8",
-    base_args={},
-    formats=("GRAY8", "YUV420P8"),
-    args=({"c": 0}, {"c": -10}, {"c": 10}, {"c": 255}),
-    geometries=("odd", "tiny"),
+
+def _clip2(src, variant: str = ""):
+    r = 12 if variant == "wide" else 5
+    return vsstd.boxblur(src, hradius=r, vradius=r)
+
+
+CASES = (
+    sweep(
+        base_fmt="GRAY8",
+        base_args={"c": 3},
+        formats=("GRAY8", "YUV420P8"),
+        args=grid(c=[0, 3, 6, 12]) + [{"c": -5}],
+        geometries=("odd", "tiny"),
+    )
+    + [
+        Case("GRAY8", args={"c": 3}, variant="wide"),
+        Case("YUV420P8", args={"c": 6}, variant="wide"),
+        Case("YUV420P8", args={"c": 0}),
+        Case("YUV420P8", args={"c": 12}),
+        Case("YUV420P8", geometry="odd", args={"c": 6}),
+        Case("YUV420P8", geometry="tiny", args={"c": 6}),
+        Case("GRAY8", geometry="odd", args={"c": 12}),
+        Case("GRAY8", geometry="tiny", args={"c": 12}),
+        Case("RGB24", args={"c": 3}),
+        Case("RGB24", args={"c": 6}),
+        Case("RGB24", args={"c": 3}, variant="wide"),
+        Case("RGB24", geometry="odd", args={"c": 3}),
+        Case("RGB24", geometry="tiny", args={"c": 3}),
+    ]
 )
 
 
 @pytest.mark.parametrize("case", CASES, ids=str)
 def test_golden(golden, make_clip, case):
     clip = make_clip(case.fmt, case.geometry)
-    blurred = boxblur(clip, hradius=3, vradius=3)
-    out = adaptive_binarize(clip, blurred, **case.args)
+    out = adaptive_binarize(clip, _clip2(clip, case.variant), **case.args)
     golden.check("adaptive_binarize", case, out)
+
+
+def test_reference_literal_average(make_clip):
+    """reference tests/test_adaptive_binarize.py:59-63."""
+    from golden import plane_stats
+
+    src = make_clip("GRAY8")
+    out = adaptive_binarize(src, _clip2(src))
+    assert plane_stats(out)["avg"] == pytest.approx(0.45087890625, rel=1e-6)
 
 
 def test_semantics(make_clip):

@@ -9,19 +9,58 @@ from oracle.clahe_ref import clahe_ref
 from vszip_tpu import VSZipError
 from vszip_tpu.ops.clahe import clahe
 
-CASES = sweep(
-    base_fmt="GRAY16",
-    base_args={},
-    formats=("GRAY8", "GRAY16", "YUV420P8"),
-    args=(
-        {"limit": 0},
-        {"limit": 2},
-        {"limit": 40},
-        {"tiles": [8, 8]},
-        {"tiles": [1, 1]},
-        {"tiles": [5]},
-    ),
-    geometries=("odd", "tiny"),
+# The reference's exact case list (reference tests/test_clahe.py:15-75) so ids
+# resolve against goldens/clahe.json, plus extra self-pinned sweeps.
+from golden import grid  # noqa: E402
+
+CASES = (
+    sweep(
+        base_fmt="GRAY8",
+        base_args={"limit": 4, "tiles": 3},
+        formats=("GRAY8", "GRAY16", "YUV420P8", "YUV444P8", "YUV420P16",
+                 "YUV444P16", "RGB24", "RGB48"),
+        args=grid(limit=[2, 4, 10])
+        + [
+            {"tiles": 2},
+            {"tiles": 8},
+            {"tiles": [2, 4]},
+            {"tiles": [8, 2]},
+            {"tiles": [4, 8]},
+        ],
+        geometries=("odd", "tiny"),
+    )
+    + [
+        Case("GRAY16", args={"limit": 512, "tiles": 4}),
+        Case("GRAY16", args={"limit": 1024, "tiles": 4}),
+        Case("GRAY16", args={"limit": 2560, "tiles": 4}),
+        Case("GRAY16", args={"limit": 2560, "tiles": [8, 2]}),
+        Case("GRAY16", args={"limit": 2560, "tiles": [2, 8]}),
+        Case("GRAY8", args={"limit": 4, "tiles": [3, 2]}),
+        Case("GRAY8", args={"limit": 4, "tiles": [2, 3]}),
+        Case("GRAY8", args={"limit": 4, "tiles": 4}),
+        Case("GRAY8", args={"limit": 2, "tiles": 8}),
+        Case("YUV420P8", args={"limit": 10, "tiles": [4, 8]}),
+        Case("YUV420P8", args={"limit": 2, "tiles": 2}),
+        Case("YUV420P16", args={"limit": 1024, "tiles": [8, 2]}),
+        Case("YUV444P8", args={"limit": 2, "tiles": [2, 4]}),
+        Case("YUV444P16", args={"limit": 2560, "tiles": [2, 8]}),
+        Case("GRAY16", "odd", args={"limit": 2560, "tiles": 4}),
+        Case("GRAY16", "tiny", args={"limit": 4, "tiles": 3}),
+        Case("YUV420P16", "odd", args={"limit": 4, "tiles": 3}),
+        Case("YUV420P16", "tiny", args={"limit": 4, "tiles": 3}),
+        Case("YUV444P16", "odd", args={"limit": 4, "tiles": 3}),
+        Case("YUV420P8", "tiny", args={"limit": 4, "tiles": 3}),
+        Case("RGB24", args={"limit": 10, "tiles": [4, 8]}),
+        Case("RGB24", args={"limit": 2, "tiles": 2}),
+        Case("RGB48", args={"limit": 2560, "tiles": [8, 2]}),
+        Case("RGB24", "odd", args={"limit": 4, "tiles": 3}),
+        Case("RGB48", "tiny", args={"limit": 4, "tiles": 3}),
+    ]
+    # extra self-pinned coverage
+    + [
+        Case("GRAY16", args={"limit": 0}),
+        Case("GRAY16", args={"tiles": [1, 1]}),
+    ]
 )
 
 

@@ -8,7 +8,6 @@ import pytest
 from helpers import encode_bmp, encode_png
 from vszip_tpu import VSZipError
 from vszip_tpu.io.image_read import image_read
-from vszip_tpu.ops.colormap import colormap
 
 REF_IMAGE = Path("/root/reference/tests/image.png")
 
@@ -115,45 +114,6 @@ def test_real_photo_decodes():
 def test_read_error():
     with pytest.raises(VSZipError, match="Failed to read"):
         image_read("/nonexistent/file.png")
-
-
-# --- ColorMap ---------------------------------------------------------------
-
-def test_colormap_golden(golden, make_clip):
-    from golden import Case
-
-    for color in [0, 2, 9, 12, 16, 20, 21]:
-        clip = make_clip("GRAY8")
-        out = colormap(clip, color=color)
-        golden.check("colormap", Case("GRAY8", "full", {"color": color}), out)
-
-
-def test_colormap_semantics(make_clip):
-    clip = make_clip("GRAY8")
-    out = colormap(clip, color=0)  # autumn: r=255, b=0
-    assert out.format.name == "RGB24"
-    assert (np.asarray(out.planes[0]) == 255).all()
-    assert (np.asarray(out.planes[2]) == 0).all()
-    assert out.props["_ColorRange"] == 0
-
-
-def test_colormap_identity_gradient():
-    """LUT resampling: a 0..255 ramp picks each LUT entry exactly once."""
-    from vszip_tpu import Clip, get_format
-    from vszip_tpu.ops.colormap import _lut
-
-    ramp = np.tile(np.arange(256, dtype=np.uint8), (2, 1))[None]
-    clip = Clip.from_planes((ramp,), get_format("GRAY8"))
-    out = colormap(clip, color=20)
-    luts = _lut(20)
-    np.testing.assert_array_equal(np.asarray(out.planes[0][0, 0]), luts[0])
-
-
-def test_colormap_errors(make_clip):
-    with pytest.raises(VSZipError, match="only Gray8"):
-        colormap(make_clip("GRAY16"))
-    with pytest.raises(VSZipError, match="between 0 and 21"):
-        colormap(make_clip("GRAY8"), color=22)
 
 
 def test_png_low_bit_depths_and_interlace(tmp_path):

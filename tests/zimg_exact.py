@@ -137,24 +137,31 @@ def resize_h_first(xscale: float, yscale: float) -> bool:
     return h_first_cost < v_first_cost
 
 
-def _apply_taps(p: np.ndarray, left, w, axis: int, descending: bool) -> np.ndarray:
-    """Apply a resize weight matrix along `axis` with f32 FMA accumulation."""
+def _apply_taps(p: np.ndarray, left, w, axis: int) -> np.ndarray:
+    """Apply a resize weight matrix along `axis` with the zimg AVX2 kernels'
+    f32 accumulation pattern: two interleaved FMA accumulators (even taps in
+    one chain, odd taps in the other, summed at the end).  Validated
+    bit-exactly: with this pattern the 4:2:0 chroma planes match the
+    reference's converted planes to 0 LSB at 8- AND 16-bit (vs a handful of
+    round-to-nearest tie flips for single-chain ascending/descending)."""
     src = p.shape[axis]
     taps = w.shape[1]
-    order = range(taps - 1, -1, -1) if descending else range(taps)
-    acc = None
-    for t in order:
-        idx = np.clip(left + t, 0, src - 1)
-        tap = np.take(p, idx, axis=axis)
-        wt = w[:, t].astype(f64)
-        shape = [1] * p.ndim
-        shape[axis] = len(left)
-        wt = wt.reshape(shape)
-        if acc is None:
-            acc = (tap.astype(f64) * wt).astype(f32)
-        else:
-            acc = (tap.astype(f64) * wt + acc.astype(f64)).astype(f32)
-    return acc
+    shape = [1] * p.ndim
+    shape[axis] = len(left)
+
+    def chain(ts):
+        acc = None
+        for t in ts:
+            idx = np.clip(left + t, 0, src - 1)
+            tap = np.take(p, idx, axis=axis).astype(f64)
+            wt = w[:, t].astype(f64).reshape(shape)
+            acc = (tap * wt).astype(f32) if acc is None else \
+                (tap * wt + acc.astype(f64)).astype(f32)
+        return acc
+
+    acc0 = chain(range(0, taps, 2))
+    acc1 = chain(range(1, taps, 2))
+    return acc0 if acc1 is None else (acc0 + acc1).astype(f32)
 
 
 def resize_plane(
@@ -176,13 +183,13 @@ def resize_plane(
         if not need_h:
             return x
         left, w = compute_filter(src_w, dst_w, shift_w, filt)
-        return _apply_taps(x, left, w, axis=x.ndim - 1, descending=False)
+        return _apply_taps(x, left, w, axis=x.ndim - 1)
 
     def do_v(x):
         if not need_v:
             return x
         left, w = compute_filter(src_h, dst_h, shift_h, filt)
-        return _apply_taps(x, left, w, axis=x.ndim - 2, descending=True)
+        return _apply_taps(x, left, w, axis=x.ndim - 2)
 
     if need_h and need_v:
         if resize_h_first(dst_w / src_w, dst_h / src_h):
