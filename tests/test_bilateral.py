@@ -9,38 +9,78 @@ from golden import Case, sweep
 from vszip_tpu import VSZipError
 from vszip_tpu.ops.bilateral import bilateral
 
-CASES = sweep(
-    base_fmt="YUV420P16",
-    base_args={"sigmaS": 2, "sigmaR": 2},   # README benchmark config (alg2)
-    formats=("GRAY8", "GRAY16", "GRAYS", "YUV420P8", "YUV420P16", "YUV422P16",
-             "YUV440P8", "RGB24", "YUV444PS"),
-    args=(
-        {"sigmaS": 1, "sigmaR": 0.02},
-        {"sigmaS": 3, "sigmaR": 0.02},       # default sigmaS, alg auto
-        {"sigmaS": 2, "sigmaR": 0.1, "algorithm": 1},  # force PBFIC
-        {"sigmaS": 5, "sigmaR": 0.1},        # auto-select leans PBFIC
-        {"sigmaS": 2, "sigmaR": 2, "planes": [0]},
-        {"sigmaS": [2, 1, 1], "sigmaR": [0.02, 0.05, 0.05]},
-    ),
-    geometries=("odd",),
-) + [
-    Case("GRAY8", "tiny", {"sigmaS": 1, "sigmaR": 0.05}),
-    Case("GRAY16", "full", {"sigmaS": 2, "sigmaR": 2, "variant_ref": 1}, variant="ref"),
-]
+# The reference's exact case list (reference tests/test_bilateral.py:13-35);
+# the "ref" variant's joint clip is the reference's std.BoxBlur(5)
+# reproduced by tests/vsstd.py.
+import vsstd  # noqa: E402
+from golden import grid  # noqa: E402
+
+CASES = (
+    sweep(
+        base_fmt="GRAY16",
+        base_args={"sigmaS": 2, "sigmaR": 2},
+        formats=("GRAY8", "GRAY16", "GRAYH", "GRAYS", "YUV420P8", "YUV420P16",
+                 "YUV444P16", "RGB24", "RGBS"),
+        args=grid(sigmaS=[0.8, 2, 5], sigmaR=[0.02, 2])
+        + [
+            {"sigmaS": 3, "sigmaR": 0.02, "algorithm": 2},
+            {"sigmaS": 3, "sigmaR": 0.1, "algorithm": 1, "PBFICnum": 4},
+            {"sigmaS": 3, "sigmaR": 0.1, "algorithm": 1, "PBFICnum": 32},
+        ],
+        geometries=("odd", "tiny"),
+    )
+    + [
+        Case("YUV420P16", args={"sigmaS": [3, 1.5], "sigmaR": [0.02, 0.05]}),
+        Case("YUV420P16", args={"sigmaS": 2, "sigmaR": 2, "planes": [0]}),
+        Case("GRAY16", args={"sigmaS": 2, "sigmaR": 0.05}, variant="ref"),
+        Case("YUV420P8", args={"sigmaS": 2, "sigmaR": 0.05}, variant="ref"),
+    ]
+    # extra self-pinned coverage
+    + [
+        Case("YUV422P16", "odd", {"sigmaS": 2, "sigmaR": 2}),
+        Case("YUV440P8", args={"sigmaS": 2, "sigmaR": 2}),
+    ]
+)
 
 
 @pytest.mark.parametrize("case", CASES, ids=str)
 def test_golden(golden, make_clip, case):
-    args = dict(case.args)
-    use_ref = args.pop("variant_ref", 0)
     clip = make_clip(case.fmt, case.geometry)
-    ref = None
-    if use_ref:
-        from vszip_tpu.ops.boxblur import boxblur
-
-        ref = boxblur(clip, hradius=1, vradius=1)
-    out = bilateral(clip, ref=ref, **args)
+    kwargs = dict(case.args)
+    if case.variant == "ref":
+        kwargs["ref"] = vsstd.boxblur(clip, hradius=5, vradius=5)
+    out = bilateral(clip, **kwargs)
     golden.check("bilateral", case, out, rel=2e-6)
+
+
+# Reference-pinned literal averages (reference tests/test_bilateral.py:47-68).
+REF_AVGS = [
+    ("GRAYS", False, 0.4959264570310188),
+    ("GRAYS", True, 0.4959947573716272),
+    ("GRAY16", False, 0.4867585293312972),
+    ("GRAY16", True, 0.4867979883572471),
+    ("GRAY8", False, 0.48851139322916665),
+]
+
+
+@pytest.mark.parametrize(("fmt", "use_ref", "expected"), REF_AVGS,
+                         ids=lambda v: str(v)[:24])
+def test_reference_literal_averages(make_clip, fmt, use_ref, expected):
+    from golden import plane_stats
+
+    src = make_clip(fmt)
+    if use_ref:
+        out = bilateral(src, ref=vsstd.boxblur(src, hradius=5, vradius=5))
+    else:
+        out = bilateral(src, sigmaS=2, sigmaR=2)
+    assert plane_stats(out)["avg"] == pytest.approx(expected, rel=2e-6)
+
+
+def test_reference_literal_algorithm2(make_clip):
+    from golden import plane_stats
+
+    out = bilateral(make_clip("GRAY16"), sigmaS=3, sigmaR=0.02, algorithm=2)
+    assert plane_stats(out)["avg"] == pytest.approx(0.4867884865613317, rel=2e-6)
 
 
 def _derive(sigma_s):

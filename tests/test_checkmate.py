@@ -9,21 +9,35 @@ from oracle.pointwise_ref import checkmate_ref
 from vszip_tpu import VSZipError
 from vszip_tpu.ops.checkmate import checkmate
 
-CASES = sweep(
-    base_fmt="YUV420P8",
-    base_args={},
-    formats=("GRAY8", "YUV420P8"),
-    args=(
-        {"thr": 0},
-        {"thr": 64, "tmax": 32},
-        {"tmax": 1},
-        {"tthr2": 8},
-        {"tthr2": 255},
-    ),
-    geometries=("odd",),
-) + [
-    # tiny YUV420 chroma planes are below the 3x5 minimum, so tiny runs GRAY
-    Case("GRAY8", "tiny", {}),
+# The reference's exact case list (reference tests/test_checkmate.py:15-63).
+from golden import grid  # noqa: E402
+
+CASES = (
+    sweep(
+        base_fmt="GRAY8",
+        base_args={"thr": 12, "tmax": 12, "tthr2": 0},
+        formats=("GRAY8", "YUV420P8", "YUV422P8", "YUV444P8"),
+        args=grid(thr=[4, 12, 40], tmax=[1, 12, 64])
+        + [
+            {"thr": 12, "tmax": 12, "tthr2": 4},
+            {"thr": 12, "tmax": 12, "tthr2": 16},
+            {"thr": 12, "tmax": 12, "tthr2": 64},
+            {"thr": 4, "tmax": 4, "tthr2": 8},
+            {"thr": 40, "tmax": 64, "tthr2": 32},
+        ],
+        geometries=("odd", "tiny"),
+    )
+    + [
+        Case("GRAY8", args={"thr": 0, "tmax": 1, "tthr2": 0}),
+        Case("GRAY8", args={"thr": 255, "tmax": 255, "tthr2": 0}),
+        Case("YUV420P8", args={"thr": 14, "tmax": 11, "tthr2": 4}),
+        Case("YUV422P8", args={"thr": 14, "tmax": 11, "tthr2": 8}),
+    ]
+)
+
+RGB_CASES = [
+    Case("RGB24", args={"thr": 12, "tmax": 12, "tthr2": 0}),
+    Case("RGB24", args={"thr": 14, "tmax": 11, "tthr2": 8}),
 ]
 
 
@@ -32,6 +46,31 @@ def test_golden(golden, make_temporal_clip, case):
     clip = make_temporal_clip(case.fmt, case.geometry)
     out = checkmate(clip, **case.args)
     golden.check("checkmate", case, out, n=1)
+
+
+@pytest.mark.parametrize("case", RGB_CASES, ids=str)
+def test_golden_rgb(golden, case):
+    """RGB24 path straight from the temporal RGB source
+    (reference tests/test_checkmate.py:54-63)."""
+    from fixtures import temporal_rgb24
+
+    out = checkmate(temporal_rgb24(), **case.args)
+    golden.check("checkmate", case, out, n=1)
+
+
+# Frame-1 averages (reference tests/test_checkmate.py:70-73).
+REF_AVGS = [
+    ({"thr": 12, "tmax": 12, "tthr2": 0}, 0.4871367378982843),
+    ({"thr": 14, "tmax": 11, "tthr2": 4}, 0.48752056525735293),
+]
+
+
+@pytest.mark.parametrize(("args", "expected"), REF_AVGS, ids=lambda v: str(v)[:24])
+def test_reference_literal_averages(make_temporal_clip, args, expected):
+    from golden import plane_stats
+
+    out = checkmate(make_temporal_clip("GRAY8"), **args)
+    assert plane_stats(out, n=1)["avg"] == pytest.approx(expected, rel=1e-6)
 
 
 @pytest.mark.parametrize(

@@ -10,28 +10,63 @@ from vszip_tpu import VSZipError
 from vszip_tpu.ops.comb_mask import comb_mask
 from vszip_tpu.ops.comb_mask_mt import comb_mask_mt
 
-CASES = sweep(
-    base_fmt="YUV420P8",
-    base_args={},
-    formats=("GRAY8", "YUV420P8"),
-    args=(
-        {"cthresh": 0},
-        {"cthresh": 20},
-        {"expand": False},
-        {"mthresh": 0},
-        {"mthresh": 0, "expand": False},
-        {"metric": True, "cthresh": 100},
-        {"metric": True, "cthresh": 100, "mthresh": 0},
-    ),
-    geometries=("odd", "tiny"),
+# The reference's exact case lists (reference tests/test_combmask.py:31-106):
+# both filters share goldens/combmask.json, keys prefixed via the variant tag.
+from golden import grid  # noqa: E402
+
+CASES = (
+    sweep(
+        base_fmt="GRAY8",
+        base_args={"cthresh": 8, "mthresh": 50},
+        formats=("GRAY8", "YUV420P8", "YUV444P8"),
+        args=grid(cthresh=[4, 8, 16, 32])
+        + grid(mthresh=[0, 50, 100, 150])
+        + [
+            {"cthresh": 8, "mthresh": 50, "metric": 1},
+            {"cthresh": 8, "mthresh": 0, "metric": 1},
+            {"cthresh": 8, "mthresh": 50, "expand": False},
+            {"cthresh": 8, "mthresh": 50, "metric": 1, "expand": False},
+            {"cthresh": 8, "mthresh": 0, "expand": False},
+            {"cthresh": 8, "mthresh": 0, "metric": 1, "expand": False},
+            {"cthresh": 400, "mthresh": 50, "metric": 1},
+        ],
+        geometries=("odd", "tiny"),
+        variant="CombMask",
+    )
+    + [
+        Case("GRAY8", args={}, variant="CombMask"),
+        Case("YUV420P8", args={"cthresh": 16, "mthresh": 100, "metric": 1,
+                               "expand": False}, variant="CombMask"),
+        Case("YUV420P8", args={"cthresh": 8, "mthresh": 0, "metric": 1},
+             variant="CombMask"),
+    ]
 )
 
-MT_CASES = sweep(
-    base_fmt="YUV420P8",
-    base_args={},
-    formats=("GRAY8", "YUV420P8"),
-    args=({"thY1": 10, "thY2": 50}, {"thY1": 0, "thY2": 0}, {"thY1": 255, "thY2": 255}),
-    geometries=("odd", "tiny"),
+MT_CASES = (
+    sweep(
+        base_fmt="GRAY8",
+        base_args={"thY1": 30, "thY2": 30},
+        formats=("GRAY8", "YUV420P8", "YUV444P8"),
+        args=[
+            {"thY1": 10, "thY2": 10},
+            {"thY1": 60, "thY2": 60},
+            {"thY1": 100, "thY2": 100},
+            {"thY1": 0, "thY2": 255},
+            {"thY1": 10, "thY2": 200},
+            {"thY1": 30, "thY2": 120},
+            {"thY1": 0, "thY2": 0},
+            {"thY1": 255, "thY2": 255},
+            {"thY1": 0, "thY2": 30},
+            {"thY1": 200, "thY2": 255},
+        ],
+        geometries=("odd", "tiny"),
+        variant="CombMaskMT",
+    )
+    + [
+        Case("GRAY8", args={}, variant="CombMaskMT"),
+        Case("YUV420P8", args={"thY1": 0, "thY2": 255}, variant="CombMaskMT"),
+        Case("YUV444P8", args={"thY1": 20, "thY2": 150}, variant="CombMaskMT"),
+    ]
 )
 
 
@@ -46,7 +81,7 @@ def test_combmask_golden(golden, make_temporal_clip, case):
 def test_combmask_mt_golden(golden, make_clip, case):
     clip = make_clip(case.fmt, case.geometry)
     out = comb_mask_mt(clip, **case.args)
-    golden.check("combmask_mt", case, out)
+    golden.check("combmask", case, out, n=0)
 
 
 @pytest.mark.parametrize(

@@ -8,21 +8,36 @@ from golden import Case, sweep
 from vszip_tpu import VSZipError
 from vszip_tpu.ops.compress import compress
 
-CASES = sweep(
-    base_fmt="YUV420P8",
-    base_args={},
-    formats=("GRAY8", "YUV420P8", "YUV444P8"),
-    args=(
-        {"qscale": 2},
-        {"qscale": 31},
-        {"dc_prec": 3},
-        {"chroma": False},
-        {"codec": 1},
-        {"codec": 1, "quality": 10},
-        {"codec": 1, "quality": 95},
-    ),
-    geometries=("odd", "tiny"),
+# The reference's exact case list (reference tests/test_compress.py:14-41).
+from golden import grid  # noqa: E402
+
+YUV8 = ("YUV420P8", "YUV422P8", "YUV444P8")
+
+MPEG_CASES = (
+    sweep(
+        base_fmt="GRAY8",
+        base_args={"codec": 0, "qscale": 8},
+        formats=("GRAY8",) + YUV8,
+        args=grid(qscale=[1, 4, 20, 31]) + grid(dc_prec=[1, 2, 3]),
+        geometries=("odd", "tiny"),
+    )
+    + [
+        Case("YUV420P8", args={"codec": 0, "qscale": 20, "chroma": False}),
+        Case("YUV444P8", args={"codec": 0, "qscale": 20, "chroma": False}),
+    ]
 )
+
+JPEG_CASES = sweep(
+    base_fmt="GRAY8",
+    base_args={"codec": 1, "quality": 25},
+    formats=("GRAY8",) + YUV8,
+    args=grid(quality=[8, 50, 98]),
+    geometries=("odd", "tiny"),
+) + [
+    Case("YUV420P8", args={"codec": 1, "quality": 25, "chroma": False}),
+]
+
+CASES = MPEG_CASES + JPEG_CASES
 
 
 @pytest.mark.parametrize("case", CASES, ids=str)

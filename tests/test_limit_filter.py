@@ -1,49 +1,86 @@
-"""LimitFilter tests."""
+"""LimitFilter tests.
+
+The reference pins 49 golden cases in goldens/limitfilter.json but its
+driving test file is absent from the snapshot, so the CASES here are
+reconstructed verbatim from the reference JSON's own keys.  The companion
+recipe was reverse-derived from the pinned values and cross-checked against
+the reference's parity suites (reference tests/test_int_parity.py:157-166,
+tests/test_f16_parity.py:211-246): flt = src.vszip.BoxBlur(hradius=2,
+vradius=2), and the "ref" variant adds ref = src.vszip.BoxBlur(hradius=4,
+vradius=4).  With full-range threshold scaling (see ops/limit_filter.py)
+every reconstructed integer case reproduces the reference value exactly.
+"""
+
+import ast
+import json
+from pathlib import Path
 
 import numpy as np
 import pytest
 
 from fixtures import crop_abs
-from golden import Case, sweep
+from golden import REF_GOLDENS_DIR, Case, sweep
 from oracle.pointwise_ref import limit_filter_ref
 from vszip_tpu import VSZipError
 from vszip_tpu.ops.boxblur import boxblur
 from vszip_tpu.ops.limit_filter import limit_filter
 
-CASES = sweep(
-    base_fmt="YUV420P16",
-    base_args={"thr": 2},
-    formats=("GRAY8", "GRAY16", "GRAYS", "YUV420P8", "YUV420P16", "YUV422P8",
-             "RGB24", "YUV444PS"),
-    args=(
-        {"thr": 1},
-        {"thr": 4, "elast": 4},
-        {"dark_thr": 1, "bright_thr": 6},
-        {"planes": [0]},
-    ),
-    geometries=("odd",),
-) + [
-    # tiny YUV420 chroma is too small for the radius-2 helper blur
-    Case("GRAY8", "tiny", {"thr": 2}),
+
+def _parse_args(argstr: str) -> dict:
+    """Inverse of golden.Case's id arg formatting (k=v, lists bracketed)."""
+    if argstr == "default":
+        return {}
+    out, depth, cur, parts = {}, 0, "", []
+    for ch in argstr:
+        depth += ch == "["
+        depth -= ch == "]"
+        if ch == "," and depth == 0:
+            parts.append(cur)
+            cur = ""
+        else:
+            cur += ch
+    parts.append(cur)
+    for p in parts:
+        k, v = p.split("=", 1)
+        out[k] = ast.literal_eval(v)
+    return out
+
+
+def _ref_cases() -> list[Case]:
+    keys = json.loads((REF_GOLDENS_DIR / "limitfilter.json").read_text())
+    cases = []
+    for key in keys:
+        bits = key.split("|")
+        fmt, geom, argstr = bits[0], bits[1], bits[2]
+        variant = bits[3] if len(bits) > 3 else ""
+        case = Case(fmt, geom, _parse_args(argstr), variant)
+        assert case.id == key, (case.id, key)
+        cases.append(case)
+    return cases
+
+
+CASES = _ref_cases() + [
+    # extra self-pinned coverage beyond the reference list
+    Case("YUV422P8", "odd", {"dark_thr": 1, "bright_thr": 6}),
+    Case("YUV444PS", args={"dark_thr": 4, "bright_thr": 4, "elast": 4,
+                           "planes": [0]}),
 ]
-
-
-def _flt_src(clip):
-    flt = boxblur(clip, hradius=2, vradius=2)
-    return flt, clip
 
 
 @pytest.mark.parametrize("case", CASES, ids=str)
 def test_golden(golden, make_clip, case):
     args = dict(case.args)
-    thr = args.pop("thr", None)
-    if thr is not None:
-        args.setdefault("dark_thr", thr)
-        args.setdefault("bright_thr", thr)
     clip = make_clip(case.fmt, case.geometry)
-    flt, src = _flt_src(clip)
-    out = limit_filter(flt, src, **args)
-    golden.check("limitfilter", case, out)
+    flt = boxblur(clip, hradius=2, vradius=2)
+    if case.variant == "ref":
+        args["ref"] = boxblur(clip, hradius=4, vradius=4)
+    out = limit_filter(flt, clip, **args)
+    rel = 1e-3 if case.fmt.endswith("H") else 1e-6
+    golden.check("limitfilter", case, out, rel=rel)
+
+
+def _flt_src(clip):
+    return boxblur(clip, hradius=2, vradius=2), clip
 
 
 @pytest.mark.parametrize("fmt", ["GRAY8", "GRAY16", "GRAYS"])
@@ -53,8 +90,10 @@ def test_matches_literal_oracle(make_clip, fmt):
     out = limit_filter(flt, src, dark_thr=2, bright_thr=3, elast=3)
     from vszip_tpu.core.params import scale_value
 
-    dt = scale_value(2.0, flt)
-    bt = scale_value(3.0, flt)
+    from vszip_tpu.core.format import ColorRange
+
+    dt = scale_value(2.0, flt, color_range=ColorRange.FULL)
+    bt = scale_value(3.0, flt, color_range=ColorRange.FULL)
     ref = limit_filter_ref(
         np.asarray(flt.planes[0][0]), np.asarray(src.planes[0][0]),
         np.asarray(src.planes[0][0]), dt, bt, 3.0,

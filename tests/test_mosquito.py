@@ -8,19 +8,30 @@ from golden import Case, sweep
 from vszip_tpu import VSZipError
 from vszip_tpu.ops.mosquito_nr import mosquito_nr
 
-CASES = sweep(
-    base_fmt="YUV420P8",
-    base_args={},
-    formats=("GRAY8", "GRAY16", "GRAYS", "YUV420P8", "YUV444PS"),
-    args=(
-        {"strength": 32},
-        {"strength": 8, "radius": 1},
-        {"restore": 0},
-        {"restore": 64},
-        {"strength": [16, 0, 0]},
-    ),
-    geometries=("odd",),
-) + [Case("GRAY8", "tiny", {"radius": 1})]
+# The reference's exact case list (reference tests/test_mosquito.py:14-39).
+from golden import grid  # noqa: E402
+
+CASES = (
+    sweep(
+        base_fmt="GRAY8",
+        base_args={"strength": 16, "restore": 128, "radius": 2},
+        formats=("GRAY8", "GRAY10", "GRAY16", "GRAYS", "YUV420P8",
+                 "YUV420P16", "YUV444PS"),
+        args=grid(strength=[8, 32]) + grid(restore=[0, 64]) + grid(radius=[1]),
+        geometries=("odd", "tiny"),
+    )
+    + [
+        Case("YUV420P8", args={"strength": 16, "restore": 64, "radius": 1}),
+        Case("YUV444P16", args={"strength": 24, "restore": 96, "radius": 2}),
+        Case("GRAY12", args={"strength": 16, "restore": 128, "radius": 2}),
+        Case("GRAY14", args={"strength": 32, "restore": 64, "radius": 1}),
+        Case("YUV420P8", args={"strength": 16, "planes": [0, 1, 2]}),
+        Case("YUV444P16", args={"strength": 16, "planes": [1, 2]}),
+        Case("YUV444PS", args={"strength": 24, "planes": [0, 1, 2]}),
+        Case("YUV444P16", args={"strength": [16, 8, 24], "restore": [128, 64, 96],
+                                "radius": [2, 1, 2], "planes": [0, 1, 2]}),
+    ]
+)
 
 
 @pytest.mark.parametrize("case", CASES, ids=str)

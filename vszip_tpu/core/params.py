@@ -126,17 +126,20 @@ def compare_clips(clips: Sequence[Clip], filter_name: str,
 
 
 def scale_value(value: float, clip: Clip, depth_in: int = 8, chroma: bool = False,
-                sample_type_in: SampleType = SampleType.INTEGER) -> float:
+                sample_type_in: SampleType = SampleType.INTEGER,
+                color_range=None) -> float:
     """8-bit-scale parameter -> clip depth (reference scaleValue,
     src/helper.zig:306-338): scales by (peak-lowest) ratio in the clip's
-    color range, rounds+clamps for integer outputs."""
+    color range, rounds+clamps for integer outputs.  `color_range` overrides
+    the frame-prop probe when a filter's measured behavior pins it (see
+    limit_filter)."""
     fmt_out = clip.format
     # reference compares bit depths only (src/helper.zig:322-324)
     if depth_in == fmt_out.bits_per_sample:
         return float(value)
     fmt_in = fmt_out.replace(bits_per_sample=depth_in, sample_type=sample_type_in,
                              subsampling_w=0, subsampling_h=0)
-    rng = clip.color_range()
+    rng = clip.color_range() if color_range is None else color_range
     in_peak = fmt_in.peak_value(chroma, rng)
     in_low = fmt_in.lowest_value(chroma, rng)
     out_peak = fmt_out.peak_value(chroma, rng)

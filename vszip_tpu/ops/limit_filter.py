@@ -65,9 +65,16 @@ def limit_filter(flt: Clip, src: Clip, ref: Clip | None = None, dark_thr=None,
     dark = get_array(dark_thr, "dark_thr", 1.0, 0.0, 255.0, FILTER_NAME)
     bright = get_array(bright_thr, "bright_thr", 1.0, 0.0, 255.0, FILTER_NAME)
     elast_a = get_array(elast, "elast", 2.0, 0.0, 65535.0, FILTER_NAME)
-    # thresholds are at 8-bit scale (reference src/vapoursynth/limit_filter.zig:106-110)
-    dark = [scale_value(v, flt) for v in dark]
-    bright = [scale_value(v, flt) for v in bright]
+    # Thresholds are at 8-bit scale (reference src/vapoursynth/
+    # limit_filter.zig:106-110).  Color range: FULL, unconditionally — pinned
+    # empirically against the reference's goldens/limitfilter.json: the
+    # full-range ratio (e.g. x65535/255 at 16-bit) reproduces every pinned
+    # avg EXACTLY on GRAY16/YUV420P16/GRAYS fixtures, while the nominal
+    # limited-range x256 misses asymmetric-threshold cases by ~1e-4.
+    from ..core.format import ColorRange
+
+    dark = [scale_value(v, flt, color_range=ColorRange.FULL) for v in dark]
+    bright = [scale_value(v, flt, color_range=ColorRange.FULL) for v in bright]
 
     is_int = fmt.sample_type is SampleType.INTEGER
     rclip = ref if ref is not None else src

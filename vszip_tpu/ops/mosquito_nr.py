@@ -34,7 +34,7 @@ import numpy as np
 
 from ..core.clip import Clip
 from ..core.format import ColorFamily, SampleType
-from ..core.params import VSZipError, get_array, require
+from ..core.params import VSZipError, get_array, parse_planes, require
 
 FILTER_NAME = "MosquitoNR"
 
@@ -236,7 +236,8 @@ def _mosquito_plane(x, strength: int, restore: int, radius: int, bits: int,
     return jnp.clip(out, lo_clamp, hi_clamp).astype(x.dtype)
 
 
-def mosquito_nr(clip: Clip, strength=None, restore=None, radius=None) -> Clip:
+def mosquito_nr(clip: Clip, strength=None, restore=None, radius=None,
+                planes=None) -> Clip:
     fmt = clip.format
     ok_int = fmt.sample_type is SampleType.INTEGER and 8 <= fmt.bits_per_sample <= 16
     ok_float = fmt.sample_type is SampleType.FLOAT and fmt.bits_per_sample == 32
@@ -248,10 +249,18 @@ def mosquito_nr(clip: Clip, strength=None, restore=None, radius=None) -> Clip:
         fmt.color_family is not ColorFamily.RGB,
         FILTER_NAME, "input must be YUV or Gray.",
     )
+    # default = luma only (reference src/vapoursynth/mosquito_nr.zig:114:
+    # planes preset {true, false, false} before mapGetPlanes override)
+    if planes is None:
+        selected = [True] + [False] * (fmt.num_planes - 1)
+    else:
+        selected = parse_planes(planes, fmt.num_planes, FILTER_NAME)
     strength_a = get_array(strength, "strength", 16, 0, 32, FILTER_NAME)
     restore_a = get_array(restore, "restore", 128, 0, 128, FILTER_NAME)
     radius_a = get_array(radius, "radius", 2, 1, 2, FILTER_NAME)
     for p in range(fmt.num_planes):
+        if not selected[p]:
+            continue
         pw, ph = clip.plane_dims(p)
         if pw < 4 or ph < 4:
             raise VSZipError(
@@ -261,7 +270,7 @@ def mosquito_nr(clip: Clip, strength=None, restore=None, radius=None) -> Clip:
     is_int = fmt.sample_type is SampleType.INTEGER
     out = []
     for p, x in enumerate(clip.planes):
-        if strength_a[p] == 0:
+        if not selected[p] or strength_a[p] == 0:
             out.append(x)
             continue
         out.append(
