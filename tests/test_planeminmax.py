@@ -8,34 +8,61 @@ from vszip_tpu import VSZipError
 from vszip_tpu.ops.boxblur import boxblur
 from vszip_tpu.ops.planeminmax import plane_minmax
 
-CASES = sweep(
-    base_fmt="YUV420P16",
-    base_args={"minthr": 0.02, "maxthr": 0.02},
-    formats=("GRAY8", "GRAY16", "GRAYS", "YUV420P8", "YUV422P8", "RGB24"),
-    args=(
-        {"minthr": 0, "maxthr": 0},
-        {"minthr": 0.5, "maxthr": 0.5},
-        {"minthr": 1.0, "maxthr": 1.0},
-        {"planes": [0, 1, 2]},
-        {"with_b": 1},
-    ),
-    geometries=("odd", "tiny"),
+# The reference's exact case list (reference tests/test_planeminmax.py:11-50);
+# the clipb companion is the reference's own vszip.BoxBlur(1).
+from golden import grid  # noqa: E402
+
+CASES = (
+    sweep(
+        base_fmt="GRAY16",
+        base_args={"minthr": 0.1, "maxthr": 0.1},
+        formats=("GRAY8", "GRAY16", "GRAYH", "GRAYS", "YUV420P8", "YUV420P16",
+                 "YUV444P16", "RGB24", "RGB48", "RGBH", "RGBS"),
+        args=grid(minthr=[0, 0.1, 0.4], maxthr=[0, 0.1, 0.4])
+        + [
+            {"minthr": 0.1, "maxthr": 0.1, "prop": "mm"},
+            {"minthr": 0.1, "maxthr": 0.1, "variant_clipb": True},
+        ],
+        geometries=("odd", "tiny"),
+    )
+    + [
+        Case("YUV420P16", args={"minthr": 0.1, "maxthr": 0.1, "planes": [0, 1, 2]}),
+        Case("YUV420P16", args={"minthr": 0.1, "maxthr": 0.1, "planes": [1, 2]}),
+        Case("YUV444P16", args={"minthr": 0.4, "maxthr": 0.1, "planes": [0, 2]}),
+        Case("YUV420PS", args={"minthr": 0.2, "planes": [0]}),
+        Case("YUV420PS", args={"planes": [0, 1, 2]}),
+        Case("RGBS", args={"minthr": 0.2, "maxthr": 0.3, "planes": [0, 1, 2]}),
+        Case("YUV420P16", args={"minthr": 0.2, "maxthr": 0.3, "planes": [0, 1, 2]},
+             variant="ref"),
+        Case("RGB24", args={"minthr": 0.1, "maxthr": 0.1, "planes": [0, 1, 2]},
+             variant="ref"),
+    ]
 )
 
 
-def _run(make_clip, case):
-    args = dict(case.args)
-    with_b = args.pop("with_b", 0)
-    clip = make_clip(case.fmt, case.geometry)
-    clipb = boxblur(clip, hradius=2, vradius=2, planes=[0]) if with_b else None
-    return plane_minmax(clip, clipb=clipb, **args)
+def _pmm_props(out, prop: str = "psm") -> dict:
+    """Reference value shape (reference tests/test_planeminmax.py:53-64)."""
+    vals = {}
+    for short in ("Min", "Max", "Diff"):
+        key = prop + short
+        if key in out.props:
+            v = np.asarray(out.props[key]).reshape(-1).tolist()
+            vals[short] = v if len(v) > 1 else v[0]
+    return vals
 
 
 @pytest.mark.parametrize("case", CASES, ids=str)
 def test_golden(golden, make_clip, case):
-    out = _run(make_clip, case)
-    vals = {k: np.asarray(v)[0].tolist() for k, v in out.props.items()}
-    golden.check_value("planeminmax", case, vals)
+    kwargs = dict(case.args)
+    clip = make_clip(case.fmt, case.geometry)
+    use_clipb = kwargs.pop("variant_clipb", False) or case.variant == "ref"
+    if use_clipb:
+        kwargs["clipb"] = boxblur(clip, hradius=1, vradius=1)
+    out = plane_minmax(clip, **kwargs)
+    prop = kwargs.get("prop", "psm")
+    is_f16 = case.fmt.endswith("H")
+    rel = 1e-3 if is_f16 else 1e-6
+    golden.check_value("planeminmax", case.id, _pmm_props(out, prop), rel=rel)
 
 
 def _walk_oracle(arr, minthr, maxthr, hist_size, is_int):

@@ -45,7 +45,10 @@ def _minmax_thr(x, hist_size: int, minthr: float, maxthr: float, is_int: bool):
     # smallest u with count(bins <= u) > totalmin, else peak
     lo = jnp.zeros((n,), jnp.int32)
     hi = jnp.full((n,), hist_size, jnp.int32)  # exclusive
-    steps = max(1, (hist_size - 1).bit_length())
+    # search span is hist_size+1 states, so (hist_size-1).bit_length() is one
+    # step short of convergence (caught by the reference's RGB24 minthr=0.1
+    # golden: unconverged lo returned 0 where the walk answer is 1)
+    steps = max(1, (hist_size + 1).bit_length())
     for _ in range(steps):
         mid = (lo + hi) // 2
         cnt = jnp.sum(
