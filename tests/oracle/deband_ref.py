@@ -48,6 +48,11 @@ def deband_plane_ref(src, pre, chroma, mode, blur_first, add_grain, thr3,
             r3 = s[y - dy1, x - dx1]
             if mode not in (1, 3):
                 dy2, dx2 = int(r2dy[y, x]), int(r2dx[y, x])
+                if not is_int and dy2 * vstride + dx2 < 0:
+                    # float kernel reads ref2 through @abs of the flat
+                    # stride-baked offset (deband_float.zig:159), swapping
+                    # r2/r4 vs the int kernel's raw read (deband_int.zig:167)
+                    dy2, dx2 = -dy2, -dx2
                 r2 = s[y + dy2, x + dx2]
                 r4 = s[y - dy2, x - dx2]
             if mode in (1, 3):

@@ -1,45 +1,57 @@
 """BilateralDither tests: literal per-pixel oracle for both paths +
-goldens + point-list generator structural checks."""
+goldens + point-list generator structural checks.
+
+CASES is the reference's exact case list (reference
+tests/test_bilateral_dither.py:15-46), so every id resolves against the
+reference's own goldens/bilateral_dither.json."""
 
 import numpy as np
 import pytest
 
 from fixtures import crop_abs
-from golden import Case, sweep
+from golden import Case, grid, sweep
 from vszip_tpu import VSZipError
 from vszip_tpu.ops.bilateral_dither import bilateral_dither
 from vszip_tpu.ops.bilateral_dither_points import (
     NBR_POINT_LISTS, generate, rnd_row_values,
 )
 
-CASES = sweep(
-    base_fmt="GRAY16",
-    base_args={},
-    formats=("GRAY8", "GRAY16", "GRAYS", "YUV420P16"),
-    args=(
-        {"radius": 8},
-        {"thr": 8.0},
-        {"flat": 0.0},
-        {"subspl": 1.0},          # dense path
-        {"subspl": 8.0},
-        {"wmin": 0.5},
-        {"variant_ref": 1},
-    ),
-    geometries=("odd",),
+CASES = (
+    sweep(
+        base_fmt="GRAY8",
+        base_args={"radius": 8, "thr": 8.0, "flat": 0.4, "subspl": 2.0},
+        formats=("GRAY8", "GRAY16", "GRAYS", "YUV420P8", "YUV420P16",
+                 "YUV444PS", "RGB24"),
+        args=(
+            grid(subspl=[0.0, 8.0])
+            + grid(flat=[0.0, 1.0])
+            + grid(thr=[2.5, 24.0])
+            + grid(wmin=[0.5])
+            + grid(radius=[4])
+        ),
+        geometries=("odd",),
+    )
+    + [
+        Case("YUV420P16", args={"radius": 8, "thr": 8.0, "subspl": 0.0}),
+        Case("GRAYS", args={"radius": 12, "thr": 16.0, "flat": 0.0,
+                            "subspl": 16.0}),
+        Case("RGBS", args={"radius": 6, "thr": 8.0, "subspl": 2.0}),
+        Case("YUV444P16", args={"radius": [8, 4, 6], "thr": [8.0, 16.0, 4.0],
+                                "flat": [0.0, 0.4, 1.0], "subspl": 2.0}),
+        Case("YUV420P8", args={"radius": [8, 4, 4], "thr": [8.0, 12.0, 12.0],
+                               "subspl": 2.0}),
+        Case("YUV420P16", args={"radius": 8, "thr": 12.0, "subspl": 2.0,
+                                "planes": [0]}),
+        Case("YUV444PS", args={"radius": 6, "thr": 16.0, "subspl": 2.0,
+                               "planes": [1, 2]}),
+    ]
 )
 
 
 @pytest.mark.parametrize("case", CASES, ids=str)
 def test_golden(golden, make_clip, case):
-    args = dict(case.args)
-    use_ref = args.pop("variant_ref", 0)
     clip = make_clip(case.fmt, case.geometry)
-    ref = None
-    if use_ref:
-        from vszip_tpu.ops.boxblur import boxblur
-
-        ref = boxblur(clip, hradius=2, vradius=2)
-    out = bilateral_dither(clip, ref=ref, **args)
+    out = bilateral_dither(clip, **case.args)
     golden.check("bilateral_dither", case, out, rel=2e-6)
 
 

@@ -9,27 +9,50 @@ from golden import Case, sweep
 from vszip_tpu import VSZipError
 from vszip_tpu.ops.deband import deband
 
-CASES = sweep(
-    base_fmt="YUV420P16",
-    base_args={},
-    formats=("GRAY16", "YUV420P8", "YUV420P10", "YUV420P16", "YUV444PS", "GRAYS"),
-    args=(
-        {"sample_mode": 1},
-        {"sample_mode": 3},
-        {"sample_mode": 4},
-        {"sample_mode": 5, "thr1": 0.5, "thr2": 0.5},
-        {"sample_mode": 6},
-        {"sample_mode": 7},
-        {"blur_first": False},
-        {"grain": 32},
-        {"grain": [16, 8], "dynamic_grain": True},
-        {"random_algo_ref": 0, "random_algo_grain": 0},
-        {"random_algo_ref": 2, "random_algo_grain": 2},
-        {"keep_tv_range": True},
-        {"range": 31},
-        {"thr": 4.0},
-    ),
-    geometries=("odd",),
+# The reference's exact case list (reference tests/test_deband.py:11-56).
+from golden import grid  # noqa: E402
+
+CASES = (
+    sweep(
+        base_fmt="GRAY16",
+        base_args={"thr": 48, "grain": 16, "seed": 7},
+        formats=("GRAY8", "GRAY16", "GRAYS", "YUV420P8", "YUV420P16", "YUV444PS"),
+        args=grid(sample_mode=[1, 2, 3, 4, 5, 6, 7])
+        + grid(blur_first=[True, False])
+        + grid(range=[1, 8, 31])
+        + grid(random_algo_ref=[0, 1, 2])
+        + grid(random_algo_grain=[0, 1, 2])
+        + [
+            {"dynamic_grain": True},
+            {"dynamic_grain": False},
+        ],
+        geometries=("odd", "tiny"),
+    )
+    + [
+        Case("YUV422P16", args={"thr": 48, "grain": 16, "seed": 7}),
+        Case("YUV422P8", args={"thr": [48, 24], "grain": [16, 8], "seed": 7}),
+        Case("RGB48", args={"thr": 48, "grain": 16, "seed": 7}),
+        Case("RGBS", args={"thr": 48, "grain": 16, "seed": 7}),
+        Case("YUV420P16", args={"thr": 48, "grain": 16, "seed": 7,
+                                "keep_tv_range": True}),
+        Case("GRAY16", args={"thr": 48, "grain": 16, "seed": 7,
+                             "sample_mode": 5, "thr1": 80, "thr2": 20}),
+        Case("GRAY16", args={"thr": 48, "grain": 16, "seed": 7,
+                             "sample_mode": 6, "thr1": 80, "thr2": 20}),
+        Case("GRAY16", args={"thr": 48, "grain": 16, "seed": 7,
+                             "sample_mode": 7, "thr1": 80, "thr2": 20}),
+        Case("GRAY16", args={"thr": 48, "grain": 16, "seed": 7,
+                             "sample_mode": 7, "angle_boost": 4.0}),
+        Case("GRAY16", args={"thr": 48, "grain": 16, "seed": 7,
+                             "sample_mode": 7, "max_angle": 0.5}),
+        Case("YUV420P16", args={"thr": [48, 24], "grain": [16, 8], "seed": 7}),
+        Case("YUV444PS", args={"thr": [48, 24, 12], "grain": [16, 8], "seed": 7}),
+        Case("GRAY16", args={"thr": 48, "grain": 16, "seed": 7,
+                             "random_algo_ref": 2, "random_param_ref": 2.0}),
+        Case("GRAY16", args={"thr": 48, "grain": 16, "seed": 7,
+                             "random_algo_grain": 2, "random_param_grain": 2.0}),
+        Case("GRAY16", args={"thr": 48, "grain": 16, "seed": 99}),
+    ]
 )
 
 
@@ -64,7 +87,7 @@ def test_matches_literal_oracle(make_clip, fmt, mode):
     else:
         thr3 = tuple(np.float32(v / 255.0) for v in (2.0, 1.5, 1.5))
         rng = (0.0, 1.0)
-    vstride = (48 + 31) & ~31 if is_int else (48 + 15) & ~15
+    vstride = (48 + 15) & ~15 if is_int else (48 + 7) & ~7  # 32-byte VS rows
     ref = deband_plane_ref(
         np.asarray(clip.planes[0][0]), pre, False, mode, True, True,
         thr3, rng, np.float32(1.5), np.float32(0.15), vstride, "grain_y",

@@ -1,36 +1,60 @@
-"""EEDI3 / EEDI3H tests: literal oracle cross-checks + golden sweeps
-(mirrors the reference's test_eedi3.py axis selection)."""
+"""EEDI3 / EEDI3H tests: literal oracle cross-checks + golden sweeps.
+
+CASES / CASES_H are the reference's exact case lists (reference
+tests/test_eedi3.py:22-63), so every id resolves against the reference's
+own goldens/eedi3.json / eedi3h.json.  The comparison tolerance is 2e-5
+instead of the reference suite's 1e-6: cross-ISA f32 builds flip a small
+fraction of exact argmin ties in the Viterbi cost ranking (quantified in
+benchmarks/tpu_parity.py), which moves plane averages by ~1e-6 absolute."""
 
 import numpy as np
 import pytest
 
 from fixtures import crop_abs
-from golden import Case, sweep
+from golden import Case, grid, sweep
 from vszip_tpu import VSZipError
 from vszip_tpu.ops.eedi3 import eedi3, eedi3h
 
-CASES = sweep(
-    base_fmt="GRAYS",
-    base_args={"field": 1},
-    formats=("GRAYS", "YUV444PS"),
-    args=(
-        {"field": 0},
-        {"field": 1, "dh": True},
-        {"field": 2},
-        {"field": 1, "nrad": 0},
-        {"field": 1, "nrad": 3},
-        {"field": 1, "mdis": 1},
-        {"field": 1, "mdis": 40},
-        {"field": 1, "hp": True},
-        {"field": 1, "vcheck": 0},
-        {"field": 1, "vcheck": 1},
-        {"field": 1, "vcheck": 3},
-        {"field": 1, "alpha": 0.5, "beta": 0.1, "gamma": 5.0},
-    ),
+FLOAT_FMTS = ("GRAYS", "YUV420PS", "YUV444PS", "RGBS")
+
+CASES = (
+    sweep(
+        base_fmt="GRAYS",
+        base_args={"field": 1},
+        formats=FLOAT_FMTS,
+        args=(
+            grid(field=[0])
+            + grid(dh=[True])
+            + grid(nrad=[0, 3], mdis=[40])
+            + grid(hp=[True])
+            + grid(vcheck=[0, 1, 3])
+            + grid(alpha=[0.4], beta=[0.3], gamma=[40.0])
+            + grid(gamma=[0.0])
+        ),
+    )
+    + [
+        Case("GRAYS", args={"field": 2}),
+        Case("YUV420PS", args={"field": 3, "dh": False}),
+        Case("GRAYS", args={"field": 1, "alpha": 0.9, "beta": 0.05,
+                            "gamma": 2.0, "mdis": 30}),
+    ]
 )
-# odd height is only legal with dh=True (height-mod-2 check,
-# reference src/filters/eedi3.zig create-time validation)
-CASES.append(Case("GRAYS", "odd", {"field": 1, "dh": True}))
+
+CASES_H = (
+    sweep(
+        base_fmt="GRAYS",
+        base_args={"field": 1},
+        formats=FLOAT_FMTS,
+        args=(
+            grid(field=[0])
+            + grid(dh=[True])
+            + grid(nrad=[3], mdis=[40])
+            + grid(hp=[True])
+            + grid(vcheck=[0, 3])
+        ),
+    )
+    + [Case("GRAYS", args={"field": 2})]
+)
 
 
 @pytest.mark.parametrize("case", CASES, ids=str)
@@ -40,7 +64,7 @@ def test_golden(golden, make_clip, case):
     golden.check("eedi3", case, out, rel=2e-5)
 
 
-@pytest.mark.parametrize("case", CASES[:6], ids=str)
+@pytest.mark.parametrize("case", CASES_H, ids=str)
 def test_golden_h(golden, make_clip, case):
     clip = make_clip(case.fmt, case.geometry)
     out = eedi3h(clip, **case.args)

@@ -126,16 +126,38 @@ def bit_depth(clip: Clip, bits: int, sample_type: SampleType | None = None,
 
     Integer<->integer conversions are bit shifts (neo-f3kdb's internal
     convention, which the reference filters rely on); integer demotes apply an
-    ordered Bayer dither unless ``dither="none"`` (documented deviation: the
-    reference's zimg path offers error diffusion).  Integer<->float converts
-    through full-range normalization.
+    ordered Bayer dither, zimg-exact Floyd-Steinberg with
+    ``dither="error_diffusion"`` (native C++, runtime/dither.py — what the
+    reference's Deband round trip uses), or round-half-up with
+    ``dither="none"``.  Integer<->float converts through full-range
+    normalization.
     """
     fmt = clip.format
     st = sample_type or (SampleType.FLOAT if bits == 32 and
                          fmt.sample_type is SampleType.FLOAT else
                          SampleType.INTEGER if bits <= 16 else fmt.sample_type)
-    if dither not in ("ordered", "none"):
+    if dither not in ("ordered", "none", "error_diffusion"):
         raise VSZipError(f"bit_depth: unknown dither '{dither}'.")
+    if (dither == "error_diffusion" and fmt.sample_type is SampleType.INTEGER
+            and st is SampleType.INTEGER and bits < fmt.bits_per_sample):
+        from ..runtime.dither import error_diffusion_demote
+
+        shift = fmt.bits_per_sample - bits
+        peak = (1 << bits) - 1
+        dt = _int_dtype(bits)
+        out = []
+        for p in clip.planes:
+            arr = np.asarray(p).astype(np.uint16)
+            frames = [
+                error_diffusion_demote(arr[i], 1.0 / (1 << shift), peak)
+                for i in range(arr.shape[0])
+            ]
+            out.append(jnp.asarray(np.stack(frames).astype(dt)))
+        return Clip(
+            tuple(out),
+            fmt.replace(bits_per_sample=bits, sample_type=st),
+            dict(clip.props),
+        )
     if st is fmt.sample_type and bits == fmt.bits_per_sample:
         return clip
 
