@@ -78,6 +78,21 @@ def temporal_rgb24() -> Clip:
 # ---------------------------------------------------------------------------
 
 
+def _convert_props(src_props: dict, fmt) -> dict:
+    """Props the reference fixtures carry after conversion (reference
+    tests/conftest.py:99-105): YUV keeps the _Matrix=1 the resize stamps;
+    GRAY runs std.RemoveFrameProps("_Matrix") so toRGBS falls back to its
+    height>650 ? 709 : 601 rule; RGB targets get _Matrix=0."""
+    from vszip_tpu.core.format import ColorFamily
+
+    props = dict(src_props)
+    if fmt.color_family is ColorFamily.GRAY:
+        props.pop("_Matrix", None)
+    else:
+        props["_Matrix"] = 0 if fmt.color_family is ColorFamily.RGB else 1
+    return props
+
+
 def convert(clip: Clip, fmt_name: str, filt: str = "bilinear") -> Clip:
     """Convert an RGB24 source clip to the named format, reproducing the
     reference fixtures' `resize.Bilinear(format=fmt, matrix=1)`
@@ -88,7 +103,7 @@ def convert(clip: Clip, fmt_name: str, filt: str = "bilinear") -> Clip:
     if fmt.name == clip.format.name:
         return Clip.from_planes([np.asarray(p) for p in src.planes], fmt, src.props)
     out = zimg_exact.convert_rgb24(tuple(np.asarray(p) for p in src.planes), fmt, filt)
-    return Clip.from_planes(out, fmt, src.props)
+    return Clip.from_planes(out, fmt, _convert_props(src.props, fmt))
 
 
 def convert_sized(clip: Clip, fmt_name: str, width: int, height: int) -> Clip:
@@ -99,7 +114,7 @@ def convert_sized(clip: Clip, fmt_name: str, width: int, height: int) -> Clip:
     out = zimg_exact.convert_rgb24(
         tuple(np.asarray(p) for p in src.planes), fmt, "bilinear", width, height
     )
-    return Clip.from_planes(out, fmt, src.props)
+    return Clip.from_planes(out, fmt, _convert_props(src.props, fmt))
 
 
 def geometry_variant(clip: Clip, geometry: str) -> Clip:

@@ -67,4 +67,4 @@ def test_noop_returns_same_clip():
 def test_bad_dither_raises():
     clip = _gray(8, np.zeros((1, 8, 8), np.uint8))
     with pytest.raises(VSZipError, match="unknown dither"):
-        bit_depth(clip, 16, dither="error_diffusion")
+        bit_depth(clip, 16, dither="stochastic")

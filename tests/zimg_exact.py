@@ -88,8 +88,24 @@ def _triangle(x: float) -> float:
     return max(1.0 - abs(x), 0.0)
 
 
+def _bicubic(x: float, b: float = 0.0, c: float = 0.5) -> float:
+    """zimg BicubicFilter polynomial (VS resize.Bicubic default b=0 c=0.5)."""
+    x = abs(x)
+    if x < 1.0:
+        return ((12.0 - 9.0 * b - 6.0 * c) / 6.0 * x * x * x
+                + (-18.0 + 12.0 * b + 6.0 * c) / 6.0 * x * x
+                + (6.0 - 2.0 * b) / 6.0)
+    if x < 2.0:
+        return ((-b - 6.0 * c) / 6.0 * x * x * x
+                + (6.0 * b + 30.0 * c) / 6.0 * x * x
+                + (-12.0 * b - 48.0 * c) / 6.0 * x
+                + (8.0 * b + 24.0 * c) / 6.0)
+    return 0.0
+
+
 _FILTERS = {
     "bilinear": (_triangle, 1.0),
+    "bicubic": (_bicubic, 2.0),
     "point": (lambda x: 1.0, 0.0),
 }
 

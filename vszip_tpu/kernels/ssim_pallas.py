@@ -121,13 +121,21 @@ def _ssim_kernel(m1_ref, m2_ref, h1_ref, h2_ref, t1_ref, t2_ref,
 
     if need_ssim:
         s12 = _hblur(_vblur(band1 * band2, tr1 * tr2, rowg, h, b), w)
-        sqs = band1 + band2
-        sq = _hblur(_vblur(sqs * sqs, (tr1 + tr2) * (tr1 + tr2), rowg, h, b),
-                    w)
+        # den = num_core + [blur((im1-im2)^2) - (mu1-mu2)^2]: the bracketed
+        # correction is exactly zero for identical inputs, so den_s ==
+        # num_s bit-for-bit and identical inputs score exactly 100 under
+        # any compiler FMA contraction (see ops/ssimulacra2.py
+        # _plane_sums_xla; the reference's (im1+im2)^2 - 2*s12 form only
+        # cancels when the mu products happen to round identically).
+        bd = band1 - band2
+        td = tr1 - tr2
+        sd = _hblur(_vblur(bd * bd, td * td, rowg, h, b), w)
         md = mu1 - mu2
         num_m = 1.0 - md * md
-        num_s = 2.0 * (s12 - mu1 * mu2) + jnp.float32(0.0009)
-        den_s = sq - 2.0 * s12 - mu1 * mu1 - mu2 * mu2 + jnp.float32(0.0009)
+        s12c = s12 - mu1 * mu2
+        core = s12c + s12c
+        num_s = core + jnp.float32(0.0009)
+        den_s = (core + (sd - md * md)) + jnp.float32(0.0009)
         d1 = jnp.maximum(1.0 - (num_m * num_s) / den_s, jnp.float32(0.0))
         emit(0, d1)
     else:

@@ -7,7 +7,7 @@ a clamped 2x2 box downscale of the previous):
 
 * XYB opsin transform (absorbance matrix, cbrt, per-channel affine),
 * per channel: 9-tap separable Gaussian blur of mu1, mu2, (im1*im2), and
-  (im1+im2)^2 (the reference's hybrid edge mirror), then
+  (im1-im2)^2 (the reference's hybrid edge mirror), then
 * SSIM map ``1 - num_m*num_s/denom_s`` (f64, 1-norm and 4-norm averages) and
   the asymmetric artifact / detail-loss ratio maps,
 * the 108-weight fold + cubic polynomial + power nonlinearity -> score.
@@ -208,14 +208,22 @@ def _plane_sums_xla(im1, im2, need_ssim: bool, need_err: bool):
     mu2 = _blur(im2)
     if need_ssim:
         s12 = _blur(im1 * im2)
-        sq = _blur((im1 + im2) ** 2)
-        m11 = mu1 * mu1
-        m22 = mu2 * mu2
-        m12 = mu1 * mu2
+        # The reference builds the SSIM denominator from blur((im1+im2)^2)
+        # minus 2*s12 (ssimulacra2.zig:228-246, :522).  Algebraically
+        # s11 + s22 - m11 - m22 == 2*(s12 - m12) + [blur((im1-im2)^2)
+        # - (mu1-mu2)^2]; this form is used here because the bracketed
+        # correction is EXACTLY zero when im1 == im2 (blur of an exact-zero
+        # plane), so den_s == num_s bit-for-bit and identical inputs score
+        # exactly 100 (the reference pins == 100.0 in its tests) no matter
+        # what FMA contractions the compiler forms -- the reference's form
+        # only cancels when the products happen to round the same way.
+        sd = _blur((im1 - im2) ** 2)
         md = mu1 - mu2
         num_m = 1.0 - md * md
-        num_s = 2.0 * (s12 - m12) + jnp.float32(0.0009)
-        den_s = sq - 2.0 * s12 - m11 - m22 + jnp.float32(0.0009)
+        s12c = s12 - mu1 * mu2
+        core = s12c + s12c
+        num_s = core + jnp.float32(0.0009)
+        den_s = (core + (sd - md * md)) + jnp.float32(0.0009)
         d1 = jnp.maximum(1.0 - (num_m * num_s) / den_s, jnp.float32(0.0))
         ssim1, ssim4 = _norms_raw(d1)
     else:
@@ -305,14 +313,15 @@ def _ssimulacra2_frames(planes1, planes2):
     )
 
 
-@partial(jax.jit, static_argnums=(2, 3))
-def _chunk_scores(c1: Clip, c2: Clip, lin1: bool, lin2: bool):
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _chunk_scores(c1: Clip, c2: Clip, lin1: bool, lin2: bool,
+                  mat1: int = 6, mat2: int = 6):
     """Whole chunk pipeline (toRGBS + EOTF + metric) under ONE jit: the
     eager per-op dispatch latency of the conversion chain (~1.5 ms/op on
     the relay backend) dominated the fused metric otherwise.  c1/c2 carry
-    no props (the _Transfer check is hoisted to the static flags)."""
-    r1 = to_rgbs(c1)
-    r2 = to_rgbs(c2)
+    no props (the _Transfer/_Matrix checks are hoisted to static flags)."""
+    r1 = to_rgbs(c1, matrix=mat1)
+    r2 = to_rgbs(c2, matrix=mat2)
     if not lin1:
         r1 = srgb_to_linear(r1)
     if not lin2:
@@ -331,8 +340,12 @@ def ssimulacra2(reference: Clip, distorted: Clip) -> Clip:
         if (c.format.sample_type is SampleType.FLOAT
                 and c.format.bits_per_sample == 16):
             raise VSZipError(f"{FILTER_NAME}: half precision input is not supported.")
+    from ..core.resample import pick_matrix
+
     lin1 = reference.props.get("_Transfer") == 8
     lin2 = distorted.props.get("_Transfer") == 8
+    mat1 = pick_matrix(reference)
+    mat2 = pick_matrix(distorted)
     # the pyramid holds a dozen full-frame f32 intermediates (sources + XYB;
     # the blur/map transients live in VMEM inside the fused kernel); chunk
     # the frame batch so transients stay well under HBM capacity
@@ -348,10 +361,10 @@ def ssimulacra2(reference: Clip, distorted: Clip) -> Clip:
     if n <= chunk:
         scores = _chunk_scores(Clip(reference.planes, reference.format, {}),
                                Clip(distorted.planes, distorted.format, {}),
-                               lin1, lin2)
+                               lin1, lin2, mat1, mat2)
     else:
         parts = [_chunk_scores(sub(reference, i), sub(distorted, i),
-                               lin1, lin2)
+                               lin1, lin2, mat1, mat2)
                  for i in range(0, n, chunk)]
         scores = jnp.concatenate(parts)
     return reference.with_props(SSIMULACRA2=scores)
