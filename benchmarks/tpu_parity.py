@@ -84,7 +84,9 @@ def run_all():
     return out
 
 
-def main():
+def check():
+    """Run all cases on the current backend and on a CPU subprocess, compare
+    per the per-op criteria below; returns [(name, ok, detail), ...]."""
     got = run_all()  # current backend (TPU under axon)
 
     with tempfile.NamedTemporaryFile(suffix=".pkl", delete=False) as f:
@@ -115,7 +117,7 @@ def main():
     #   percent of pixels (discrete argmin instability inherent to any
     #   cross-backend float build, including the Zig reference); accept a
     #   bounded flip fraction with everything else exact.
-    fails = 0
+    results = []
     for name in want:
         g, w = got[name], want[name]
         detail = ""
@@ -141,6 +143,13 @@ def main():
                      for a, b in zip(g, w))
         else:
             ok = all(np.array_equal(a, b) for a, b in zip(g, w))
+        results.append((name, ok, detail))
+    return results
+
+
+def main():
+    fails = 0
+    for name, ok, detail in check():
         print(f"{name:14s} {'OK' if ok else 'MISMATCH'}{detail}", flush=True)
         fails += 0 if ok else 1
     sys.exit(1 if fails else 0)

@@ -40,6 +40,15 @@ REF_GOLDENS_DIR = Path(
 # instead of the reference values, each with a documented reason.  Keep this
 # list short and justified: every entry is a known, measured deviation.
 REF_EXCLUDE: dict[str, list[tuple[str, str]]] = {
+    "xpsnr": [
+        # 10-bit luma quantization after the non-dyadic f32 upscale
+        # (1880x1040 -> 2560x1440): a handful of round-to-nearest tie flips
+        # vs zimg's AVX2 accumulation order put Y at rel 3.9e-6 vs the
+        # reference (tolerance 1e-6).  The 8-bit uhd cases and every other
+        # ext case match at rel 1e-6; U/V match here too.
+        ("ext|uhd|2560x1440|YUV420P10|fps32|t1|n*",
+         "10-bit quantize tie flips after non-dyadic f32 upscale"),
+    ],
     "boxblur": [
         # The reference float path chains a sliding f32 accumulator per pass
         # (reference src/filters/boxblur_runtime.zig); its rounding drift

@@ -8,12 +8,15 @@ This surfaces bit-depth-specific bugs (a hard-coded 255 peak, overflow at
 suite's coverage and documented exclusions
 (reference tests/test_int_parity.py).
 
-Content note: this repo's fixture pipeline quantizes at 8 bit and
-bit-shifts to higher depths (tests/fixtures.py convert()), so the
-normalized content is identical across depths BY CONSTRUCTION — the
-reference needs an explicit Point-upscale trick for Deband/LimitFilter
-(reference tests/test_int_parity.py:203-217); here every filter gets
-identical content automatically.
+Content note: the fixture pipeline quantizes EACH depth independently
+(zimg-exact conversion, tests/zimg_exact.py), so 10/16-bit fixtures are NOT
+bit-shifts of the 8-bit one — they differ by sub-LSB rounding.  Smooth ops
+absorb that inside the parity tolerance; threshold-discontinuous ops
+(Deband's banding detection, LimitFilter's ramp, MosquitoNR's wavelet
+thresholding) legitimately flip branches on it, so those tests build ONE
+8-bit base clip and expand it to each depth by exact bit-shift
+(`_shifted_family`), exactly the reference's Point-upscale trick
+(reference tests/test_int_parity.py:203-217).
 
 Not covered (same rationale as the reference):
 * single-int-depth filters — Checkmate, CombMask, CombMaskMT, ColorMap,
@@ -51,6 +54,22 @@ YUV444 = [(8, "YUV444P8"), (10, "YUV444P10"), (16, "YUV444P16")]
 RGB = [(8, "RGB24"), (10, "RGB30"), (16, "RGB48")]
 
 FAMILIES = {"gray": GRAY, "yuv420": YUV420, "yuv444": YUV444, "rgb": RGB}
+
+
+def _shifted_family(make_clip, family):
+    """[(bits, clip)] with shift-consistent content: the family's 8-bit
+    fixture expanded to each depth by exact bit shift (the reference's
+    `base.resize.Point(format=fmt)` — zimg's limited/full int promote is a
+    left shift, reference tests/test_int_parity.py:203-217)."""
+    from vszip_tpu import bit_depth
+
+    fams = FAMILIES[family]
+    _, base_fmt = min(fams, key=lambda bf: bf[0])
+    base = make_clip(base_fmt)
+    return [
+        (bits, base if bits == 8 else bit_depth(base, bits))
+        for bits, fmt in fams
+    ]
 
 
 def _norm_planes(clip):
@@ -162,8 +181,7 @@ def test_int_parity_limiter_tv_range_default(make_clip, family):
 # (reference src/vapoursynth/limit_filter.zig:106-110).
 def _lf_results(make_clip, family, *, ref=False, **args):
     results = []
-    for bits, fmt in FAMILIES[family]:
-        src = make_clip(fmt)
+    for bits, src in _shifted_family(make_clip, family):
         flt = boxblur(src, hradius=2, vradius=2)
         r = boxblur(src, hradius=4, vradius=4) if ref else None
         results.append((bits, limit_filter(flt, src, r, **args)))
@@ -211,9 +229,9 @@ def test_int_parity_limitfilter_ref(make_clip, family):
 )
 def test_int_parity_deband(make_clip, family, sample_mode, blur_first):
     results = [
-        (bits, deband(make_clip(fmt), thr=48, grain=0, seed=7,
+        (bits, deband(clip, thr=48, grain=0, seed=7,
                       sample_mode=sample_mode, blur_first=blur_first))
-        for bits, fmt in FAMILIES[family]
+        for bits, clip in _shifted_family(make_clip, family)
     ]
     assert_pixel_parity(results, lsb=4.0)
 
@@ -232,8 +250,8 @@ def test_int_parity_bilateral_dither(make_clip, family):
 @pytest.mark.parametrize("family", ["gray", "yuv420"])
 def test_int_parity_mosquito(make_clip, family):
     results = [
-        (bits, mosquito_nr(make_clip(fmt)))
-        for bits, fmt in FAMILIES[family]
+        (bits, mosquito_nr(clip))
+        for bits, clip in _shifted_family(make_clip, family)
     ]
     assert_pixel_parity(results)
 

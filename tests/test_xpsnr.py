@@ -1,42 +1,160 @@
-"""XPSNR tests: literal oracle cross-check + goldens."""
+"""XPSNR tests: REFERENCE-pinned golden sweep (the reference's 105-case
+matrix: 4 distortion recipes x temporal on/off x formats x per-frame, plus
+the extended <=HD / >HD path cases) + literal oracle cross-checks."""
 
 import numpy as np
 import pytest
 
-from golden import Case, sweep
+import vsstd
+from golden import Case, grid, sweep
 from vszip_tpu import VSZipError
 from vszip_tpu.ops.boxblur import boxblur
 from vszip_tpu.ops.xpsnr import xpsnr
 
-CASES = sweep(
-    base_fmt="YUV420P8",
-    base_args={"fps": 24},
-    formats=("YUV420P8", "YUV444P8", "YUV420P10"),
-    args=(
-        {"fps": 60},
-        {"fps": 0},
-        {"temporal": False},
-    ),
-    geometries=("odd",),
+# The reference fixtures carry fps 30/1 (ImageRead default), which selects
+# the 1st-order temporal diff (fps < 32).
+_FIXTURE_FPS = 30
+
+DISTORTIONS = ("box2", "box5", "bright", "shift")
+
+
+def _distort(clip, kind):
+    """Reference tests/test_xpsnr.py:60-73: every plane perturbed so chroma
+    scores stay finite."""
+    if kind == "box2":
+        return vsstd.boxblur(clip, hradius=2, vradius=2)
+    if kind == "box5":
+        return vsstd.boxblur(clip, hradius=5, vradius=5)
+    if kind == "bright":
+        return vsstd.expr_add(clip, 12)
+    if kind == "shift":
+        return vsstd.expr_add(clip, 1)
+    raise ValueError(kind)
+
+
+# reference tests/test_xpsnr.py:76-108 — the exact sweep.
+CASES = (
+    sweep(
+        base_fmt="YUV420P8",
+        base_args={"temporal": True},
+        formats=("YUV420P8", "YUV420P10"),
+        args=tuple(grid(temporal=[True, False])),
+        variant="box2",
+    )
+    + [
+        Case("YUV420P8", args={"temporal": t}, variant=k)
+        for k in DISTORTIONS
+        for t in (True, False)
+    ]
+    + [
+        Case("YUV420P10", args={"temporal": t}, variant=k)
+        for k in DISTORTIONS
+        for t in (True, False)
+    ]
+    + [
+        Case(fmt, args={"temporal": t}, variant="box2")
+        for fmt in ("YUV422P8", "YUV444P8", "YUV422P10", "YUV444P10")
+        for t in (True, False)
+    ]
 )
-
-
-def _pair(make_temporal_clip, fmt, geometry="full"):
-    ref = make_temporal_clip(fmt, geometry)
-    dist = boxblur(ref, hradius=1, vradius=1)
-    return ref, dist
 
 
 @pytest.mark.parametrize("case", CASES, ids=str)
 def test_golden(golden, make_temporal_clip, case):
-    ref, dist = _pair(make_temporal_clip, case.fmt, case.geometry)
-    out = xpsnr(ref, dist, **case.args)
-    vals = {
-        k: np.asarray(v).ravel().tolist()
-        for k, v in out.props.items()
-        if k.startswith("XPSNR")
-    }
-    golden.check_value("xpsnr", case, vals, rel=1e-9)
+    ref = make_temporal_clip(case.fmt, case.geometry)
+    dist = _distort(ref, case.variant)
+    out = xpsnr(ref, dist, fps=_FIXTURE_FPS, **case.args)
+    ys = np.asarray(out.props["XPSNR_Y"]).ravel()
+    us = np.asarray(out.props["XPSNR_U"]).ravel()
+    vs_ = np.asarray(out.props["XPSNR_V"]).ravel()
+    for n in range(ref.num_frames):
+        golden.check_value(
+            "xpsnr", f"{case.id}|n{n}",
+            {"Y": float(ys[n]), "U": float(us[n]), "V": float(vs_[n])},
+            rel=1e-6,
+        )
+
+
+# --- extended path coverage (reference tests/test_xpsnr.py:131-175) ---------
+# <=HD without min-smoothing (1280x720), the >HD b_val==2 high-pass path
+# (2560x1440), and the 2nd-order temporal boundary (fps >= 32).
+
+_EXT = [
+    ("hd",  1280, 720,  "YUV420P8",  24, True),
+    ("hd",  1280, 720,  "YUV420P8",  32, True),
+    ("hd",  1280, 720,  "YUV420P10", 24, True),
+    ("hd",  1280, 720,  "YUV420P8",  24, False),
+    ("uhd", 2560, 1440, "YUV420P8",  24, True),
+    ("uhd", 2560, 1440, "YUV420P8",  32, True),
+    ("uhd", 2560, 1440, "YUV420P8",  60, True),
+    ("uhd", 2560, 1440, "YUV420P8",  24, False),
+    ("uhd", 2560, 1440, "YUV420P10", 32, True),
+    ("uhd", 2560, 1440, "YUV444P8",  32, True),
+    ("uhd", 2560, 1440, "YUV422P8",  24, True),
+]
+
+
+@pytest.fixture(scope="module")
+def motion_sized():
+    """Factory: the reference's 1880x1040 3-frame motion clip resized to
+    (w, h, fmt) via zimg Bilinear matrix=1 (reference tests/test_xpsnr.py:
+    17-39)."""
+    from fixtures import _photo_planes, convert_sized
+    from vszip_tpu import Clip, get_format
+
+    planes = _photo_planes()
+    win_w, win_h, shift = 1880, 1040, 6
+    u8 = np.stack([
+        np.stack([p[n * shift : n * shift + win_h, :win_w] for p in planes],
+                 axis=0)
+        for n in range(3)
+    ])  # (3, 3, H, W): frames x channels
+    rgb = Clip.from_planes(
+        tuple(u8[:, c] for c in range(3)), get_format("RGB24"))
+    cache = {}
+
+    def make(w, h, fmt):
+        key = (w, h, fmt)
+        if key not in cache:
+            cache[key] = convert_sized(rgb, fmt, w, h)
+        return cache[key]
+
+    return make
+
+
+@pytest.mark.parametrize(
+    "label,w,h,fmt,fps,temporal", _EXT,
+    ids=[f"{c[0]}-{c[3]}-fps{c[4]}-t{int(c[5])}" for c in _EXT])
+def test_golden_extended(golden, motion_sized, label, w, h, fmt, fps,
+                         temporal):
+    ref = motion_sized(w, h, fmt)
+    dist = _distort(ref, "box2")
+    out = xpsnr(ref, dist, temporal=temporal, fps=fps)
+    key = f"ext|{label}|{w}x{h}|{fmt}|fps{fps}|t{int(temporal)}"
+    ys = np.asarray(out.props["XPSNR_Y"]).ravel()
+    us = np.asarray(out.props["XPSNR_U"]).ravel()
+    vs_ = np.asarray(out.props["XPSNR_V"]).ravel()
+    for n in range(ref.num_frames):
+        golden.check_value(
+            "xpsnr", f"{key}|n{n}",
+            {"Y": float(ys[n]), "U": float(us[n]), "V": float(vs_[n])},
+            rel=1e-6,
+        )
+
+
+def test_temporal_order_boundary(motion_sized):
+    """fps<32 -> 1st-order temporal diff, fps>=32 -> 2nd-order, sharp at 32
+    (reference tests/test_xpsnr.py:178-192)."""
+    ref = motion_sized(640, 360, "YUV420P8")
+    dist = _distort(ref, "box2")
+
+    def ys(fps):
+        return np.asarray(xpsnr(ref, dist, fps=fps).props["XPSNR_Y"]).ravel()
+
+    s24, s31, s32 = ys(24), ys(31), ys(32)
+    np.testing.assert_array_equal(s24, s31)
+    assert s32[0] == pytest.approx(s31[0])
+    assert all(s32[n] != s31[n] for n in range(1, len(s32)))
 
 
 @pytest.mark.parametrize("fps", [24, 60])
@@ -45,7 +163,8 @@ def test_matches_literal_oracle(make_temporal_clip, fps, temporal):
     from oracle.xpsnr_ref import wsse_frame_ref
     from vszip_tpu.ops.xpsnr import _xpsnr_frame_stats
 
-    ref, dist = _pair(make_temporal_clip, "YUV420P8")
+    ref = make_temporal_clip("YUV420P8")
+    dist = boxblur(ref, hradius=1, vradius=1)
     widths = tuple(ref.plane_dims(p)[0] for p in range(3))
     heights = tuple(ref.plane_dims(p)[1] for p in range(3))
     got = np.asarray(

@@ -287,13 +287,26 @@ def convert_rgb24(
 
     sw, sh = fmt.subsampling_w, fmt.subsampling_h
     cw, ch = dst_w >> sw, dst_h >> sh
-    # left-sited horizontal chroma (VS default chromaloc): the output chroma
-    # center sits at dst-luma coordinate (k + 0.5) * 2^sw - (2^sw - 1) * 0.5
-    # ... for sw=1 it is 2k+0.5, i.e. shift -0.5 in src units per the zimg
+    # zimg stages sized format conversions so the colorspace step runs at the
+    # SMALLER resolution, which changes where the chroma subsample happens
+    # (validated against the reference's XPSNR ext goldens at 1280x720 /
+    # 2560x1440 — the wrong staging misses U/V by ~0.5-1 dB, the right one
+    # matches at rel 1e-6):
+    #   * downscale: spatial resize at 4:4:4 to the destination luma dims
+    #     FIRST, then a separate chroma-subsample resize (siting shift -0.5);
+    #   * upscale / same size: one fused resize per chroma plane straight to
+    #     (cw, ch) with the siting shift scaled to source units,
+    #     -0.5 * (src_w / dst_w).
+    # Chroma siting is left (VS default chromaloc) per the zimg
     # pos = (i+0.5)/scale + shift convention; vertically centered (shift 0).
-    shift_w = -0.5 * (src_w / dst_w) if sw else 0.0
+    downscale = (dst_w * dst_h < src_w * src_h)
     out = [pack(y, "luma")]
     for c in (cb, cr):
-        c = resize_plane(c, cw, ch, shift_w, 0.0, filt)
+        if downscale:
+            c = resize_plane(c, dst_w, dst_h, 0.0, 0.0, filt)
+            c = resize_plane(c, cw, ch, -0.5 if sw else 0.0, 0.0, filt)
+        else:
+            c = resize_plane(c, cw, ch, -0.5 * (src_w / dst_w) if sw else 0.0,
+                             0.0, filt)
         out.append(pack(c, "chroma"))
     return out

@@ -43,6 +43,11 @@ from .core.resample import (  # noqa: E402
     to_rgbs,
 )
 from .io import image_read  # noqa: E402
+from .runtime.stream import (  # noqa: E402
+    ArraySource,
+    SyntheticSource,
+    process_stream,
+)
 from .ops import *  # noqa: E402,F401,F403
 
 __version__ = "0.1.0"

@@ -218,4 +218,13 @@ def decode(data: bytes) -> DecodedImage:
         return decode_png(data)
     if data[:2] == b"BM":
         return decode_bmp(data)
-    raise ValueError("unsupported image format (PNG and BMP are supported)")
+    if data[:4] == b"qoif":
+        from .codecs import decode_qoi
+
+        return decode_qoi(data)
+    if len(data) >= 18 and data[1] in (0, 1) and data[2] in (1, 2, 3, 9, 10, 11):
+        from .codecs import decode_tga
+
+        return decode_tga(data)
+    raise ValueError(
+        "unsupported image format (PNG, BMP, QOI and TGA are supported)")

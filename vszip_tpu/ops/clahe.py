@@ -69,18 +69,58 @@ def _clahe_plane(x, limit: int, tiles_x: int, tiles_y: int, bits: int):
         # high nibble h and low nibble l, i.e. an outer-product contraction
         # hi_onehot^T @ lo_onehot over the tile's pixels.  The one-hots cost
         # 32 compares/pixel (vs 256 for a direct compare-reduce) and the
-        # 256-bin accumulation rides the MXU in bf16 (0/1 operands and
-        # counts < 2^24 are exact in the f32 accumulator).  Measured 5.1x
-        # over the compare-reduce at 8x1080p GRAY8 on one v5e, bit-equal.
+        # 256-bin accumulation rides the MXU in bf16.  Measured 5.1x over
+        # the compare-reduce at 8x1080p GRAY8 on one v5e, bit-equal.
+        #
+        # The contraction is CHUNKED over the pixel axis with a lax.scan:
+        # the (t, p, 16) bf16 one-hots are dot operands XLA materializes in
+        # HBM (~64 B/pixel combined), which at large batch x resolution
+        # blows past HBM and thrashes (measured: 1080p GRAY8 batch 64
+        # collapsed 1385 -> 58 fps un-chunked).  Chunking bounds the
+        # operands to ~t*0.5 MB per step, and since each partial histogram
+        # is accumulated in int32, counts are exact for ANY tile_area (the
+        # un-chunked f32 accumulator was only exact below 2^24 pixels).
         i16 = jnp.arange(16, dtype=jnp.int32)
-        hi = (vals[:, :, None] >> 4) == i16[None, None, :]
-        lo = (vals[:, :, None] & 15) == i16[None, None, :]
-        hist = jnp.einsum(
-            "tph,tpl->thl",
-            hi.astype(jnp.bfloat16),
-            lo.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.int32).reshape(n, tiles_y * tiles_x, hist_size)
+        t_cnt = vals.shape[0]
+        onehot_bytes = 2 * t_cnt * tile_area * 16 * 2
+        if onehot_bytes <= (1 << 30) and tile_area < (1 << 24):
+            # operands fit comfortably; single contraction (counts < 2^24
+            # are exact in the f32 accumulator)
+            hi = (vals[:, :, None] >> 4) == i16[None, None, :]
+            lo = (vals[:, :, None] & 15) == i16[None, None, :]
+            hist = jnp.einsum(
+                "tph,tpl->thl",
+                hi.astype(jnp.bfloat16),
+                lo.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)
+        else:
+            # chunk the pixel axis with a scan: bounds the materialized
+            # one-hots (measured: 1080p GRAY8 batch 64 collapsed
+            # 1385 -> 58 fps when ~8.5 GB of operands thrashed HBM) AND
+            # makes counts exact for any tile_area (partials <= chunk
+            # < 2^24 each, accumulated in int32).
+            chunk = 32768
+            pad = (-tile_area) % chunk
+            # pad value -1: its high nibble matches no one-hot lane, so
+            # padded pixels contribute nothing to the outer product.
+            valsp = jnp.pad(vals, ((0, 0), (0, pad)), constant_values=-1)
+            valsc = valsp.reshape(t_cnt, -1, chunk).transpose(1, 0, 2)
+
+            def body(acc, vc):
+                hi = (vc[:, :, None] >> 4) == i16[None, None, :]
+                lo = (vc[:, :, None] & 15) == i16[None, None, :]
+                part = jnp.einsum(
+                    "tph,tpl->thl",
+                    hi.astype(jnp.bfloat16),
+                    lo.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.int32)
+                return acc + part, None
+
+            hist0 = jnp.zeros((t_cnt, 16, 16), jnp.int32)
+            hist, _ = jax.lax.scan(body, hist0, valsc)
+        hist = hist.reshape(n, tiles_y * tiles_x, hist_size)
     else:
         offs = (
             jax.lax.broadcasted_iota(jnp.int32, (n * tiles_y * tiles_x, 1), 0)
