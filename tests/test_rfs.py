@@ -56,7 +56,7 @@ def test_rfs_mismatch_format(make_temporal_clip):
     out = rfs(a, b, frames=[1], mismatch=True)
     assert isinstance(out, VariableClip)
     assert out.num_frames == 3
-    assert out.format is None  # formats diverge -> wiped
+    assert not out.format  # formats diverge -> wiped (falsy sentinel)
     assert out.width == a.width and out.height == a.height  # dims agree
     f0, f1 = out.get_frame(0), out.get_frame(1)
     assert f0.format.name == "GRAY8" and f1.format.name == "GRAY16"
@@ -86,6 +86,21 @@ def test_rfs_mismatch_same_format_stays_dense(make_temporal_clip):
     out = rfs(a, b, frames=[2], mismatch=True)
     np.testing.assert_array_equal(np.asarray(out.planes[0][2]), np.asarray(b.planes[0][2]))
     np.testing.assert_array_equal(np.asarray(out.planes[0][0]), np.asarray(a.planes[0][0]))
+
+
+def test_rfs_mismatch_output_rejected_by_filters(make_temporal_clip):
+    """Piping a variable-format clip into any filter raises the host
+    runtime's clear constant-format error, not an opaque AttributeError
+    (every op consumes clips through .planes/.props)."""
+    a = make_temporal_clip("GRAY8")
+    b = make_temporal_clip("GRAY16")
+    out = rfs(a, b, frames=[1], mismatch=True)
+    with pytest.raises(VSZipError, match="constant format and dimensions"):
+        boxblur(out, hradius=1, vradius=1)
+    from vszip_tpu.ops.limiter import limiter
+
+    with pytest.raises(VSZipError, match="constant format and dimensions"):
+        limiter(out, tv_range=True)
 
 
 def test_rfs_mismatch_planes_subset_rejected(make_temporal_clip):

@@ -151,6 +151,30 @@ class Clip:
         )
 
 
+class _WipedFormat:
+    """Sentinel for a wiped (variable) format: falsy, and any attribute
+    access raises the host runtime's constant-format error so filters fail
+    clearly instead of with an opaque AttributeError."""
+
+    def __bool__(self):
+        return False
+
+    def __repr__(self):
+        return "<variable format>"
+
+    def __getattr__(self, name):
+        from .params import VSZipError
+
+        raise VSZipError(
+            "clip must have constant format and dimensions: this is a "
+            "variable-format clip (RFS mismatch output); process per frame "
+            "via get_frame(n) instead."
+        )
+
+
+WIPED_FORMAT = _WipedFormat()
+
+
 class VariableClip:
     """Variable-format clip: per-frame references into heterogeneous sources.
 
@@ -159,8 +183,11 @@ class VariableClip:
     (reference src/vapoursynth/rfs.zig:150-188 + the getFrame passthrough
     :18-29).  Batched plane tensors can't hold ragged frames, so the
     TPU-native equivalent is this lazy union: ``get_frame(n)`` materializes a
-    single-frame Clip from whichever source owns frame n.  Dimensions/format
-    report 0/None when the sources disagree, mirroring the wiped VideoInfo.
+    single-frame Clip from whichever source owns frame n.  Dimensions report
+    0 and format the falsy WIPED_FORMAT sentinel when the sources disagree,
+    mirroring the wiped VideoInfo; piping the clip into any filter raises
+    the host runtime's constant-format error (see _WipedFormat / the
+    .planes guard below).
     """
 
     def __init__(self, sources, table):
@@ -186,8 +213,39 @@ class VariableClip:
 
     @property
     def format(self):
-        return self._common(lambda s: s.format, None)
+        return self._common(lambda s: s.format, WIPED_FORMAT)
 
     def get_frame(self, n: int) -> Clip:
         src_idx, frame_idx = self.table[n]
         return self.sources[src_idx].frame(frame_idx)
+
+    # -- filter-input guard ----------------------------------------------
+    # Ops consume clips through .planes (and friends); raise a clear,
+    # actionable error instead of an opaque AttributeError when a
+    # variable-format clip is piped into a filter (the reference host
+    # runtime rejects variable-format input at filter Create time with
+    # "clip must have constant format and dimensions").
+
+    def _reject(self):
+        from .params import VSZipError
+
+        raise VSZipError(
+            "clip must have constant format and dimensions: this is a "
+            "variable-format clip (RFS mismatch output); process per frame "
+            "via get_frame(n) instead."
+        )
+
+    @property
+    def planes(self):
+        self._reject()
+
+    @property
+    def num_planes(self):
+        self._reject()
+
+    @property
+    def props(self):
+        self._reject()
+
+    def plane_dims(self, plane: int):
+        self._reject()
