@@ -157,3 +157,58 @@ def test_fused_segmented_matches_xla_interpret(monkeypatch):
     np.testing.assert_array_equal(np.asarray(fpath), np.asarray(fpath_ref))
     np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
                                rtol=2e-7, atol=1e-7)
+
+
+def _vcheck_both_paths(monkeypatch, *, hp, vcheck, use_scp, dh, field,
+                       seed, vthresh=(32.0, 64.0, 4.0)):
+    """Run ops.eedi3._vcheck through the lax.scan path and the fused
+    Pallas sweep (interpret mode) on identical inputs; return both."""
+    from functools import partial
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    E = importlib.import_module("vszip_tpu.ops.eedi3")
+    KV = importlib.import_module("vszip_tpu.kernels.vcheck_pallas")
+
+    rng = np.random.default_rng(seed)
+    B, W, mdis = 2, 120, 4
+    n_src = 6 if dh else 12
+    n_interp = n_src if dh else n_src // 2
+    n_dst = n_src * 2 if dh else n_src
+
+    src = jnp.asarray(rng.random((B, n_src, W), np.float32))
+    dst = jnp.asarray(rng.random((B, n_dst, W), np.float32))
+    drange = 2 * mdis if hp else mdis
+    dmap = jnp.asarray(
+        rng.integers(-drange, drange + 1, (B, n_interp, W)), jnp.int32)
+    scp = (jnp.asarray(rng.random((B, n_dst, W), np.float32))
+           if use_scp else None)
+
+    args = (src, dst, scp, dmap, field, n_interp, n_dst, n_src, dh, hp,
+            vcheck, vthresh[0], vthresh[1], vthresh[2], W, mdis)
+
+    monkeypatch.setattr(E, "_dp_on_tpu", lambda: False)
+    ref = np.asarray(E._vcheck(*args))
+
+    monkeypatch.setattr(E, "_dp_on_tpu", lambda: True)
+    monkeypatch.setattr(KV, "vcheck_pallas",
+                        partial(KV.vcheck_pallas, interpret=True))
+    got = np.asarray(E._vcheck(*args))
+    return ref, got
+
+
+@pytest.mark.parametrize("hp", [False, True])
+@pytest.mark.parametrize("vcheck", [1, 2, 3])
+def test_vcheck_kernel_matches_scan_interpret(monkeypatch, hp, vcheck):
+    ref, got = _vcheck_both_paths(
+        monkeypatch, hp=hp, vcheck=vcheck, use_scp=False, dh=False,
+        field=1, seed=11 + vcheck + 10 * hp)
+    np.testing.assert_allclose(got, ref, rtol=2e-7, atol=1e-7)
+
+
+@pytest.mark.parametrize("dh,field", [(True, 0), (False, 0)])
+def test_vcheck_kernel_sclip_dh_interpret(monkeypatch, dh, field):
+    ref, got = _vcheck_both_paths(
+        monkeypatch, hp=False, vcheck=2, use_scp=True, dh=dh, field=field,
+        seed=7 + dh)
+    np.testing.assert_allclose(got, ref, rtol=2e-7, atol=1e-7)

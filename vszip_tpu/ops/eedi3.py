@@ -573,6 +573,33 @@ def _vcheck(src_lines, dst_lines, scp, dmap, field, n_interp, n_dst, n_src,
         cint_a = (jnp.float32(0.5625) * (d1p_a + d1n_a)
                   - jnp.float32(0.0625) * (s3p_a + s3n_a))
 
+    if _dp_on_tpu():
+        # fused Pallas sweep: the scan below is pure loop-overhead bound on
+        # TPU (~24 ms for 538 lines at 8x1920 — vcheck alone halved EEDI3);
+        # the kernel runs the line loop as a sequential pallas grid with the
+        # carried updated-line in VMEM scratch (kernels/vcheck_pallas.py).
+        from ..kernels.vcheck_pallas import B_BLK, vcheck_pallas
+
+        b = dl_a.shape[1]
+        pad_b = (-b) % B_BLK
+
+        def padb(x, axis):
+            if not pad_b:
+                return x
+            widths = [(0, 0)] * x.ndim
+            widths[axis] = (0, pad_b)
+            return jnp.pad(x, widths)
+
+        nb = jnp.stack([d1p_a, d1n_a, d2n_a], axis=1)
+        dmst = jnp.stack([dm_p_a, dm_c_a, dm_n_a], axis=1).astype(jnp.int32)
+        init = dst_lines[:, pds[0] - 2]
+        ys = vcheck_pallas(
+            padb(dl_a, 1), padb(nb, 2), padb(dmst, 2), padb(cint_a, 1),
+            padb(init, 0), w, mdis, hp, vcheck,
+            float(rcp0), float(rcp1), float(rcp2), float(vt2))
+        return dst_lines.at[:, pds[0] : pds[-1] + 1 : 2].set(
+            jnp.moveaxis(ys[:, :b], 0, 1))
+
     col_i = jax.lax.broadcasted_iota(jnp.int32, dl_a.shape[1:], dl_a.ndim - 2)
 
     def gsel(stack, o):
