@@ -27,15 +27,17 @@ H, W, N = 192, 256, 4
 
 
 def photo_clip(vz):
-    """Photographic luma at production width (1920-wide lines, 540 source
-    rows) from the reference's own tests/image.png, f32 GRAYS — the
-    content+size class the tie-break *score impact* bound is stated on."""
+    """Photographic luma from the reference's own tests/image.png
+    (1920x1080), cropped to EXACTLY 540 rows x 1896 columns, f32 GRAYS —
+    near-production-width real content, the class that exposed round 3's
+    coefficient bug."""
     sys.path.insert(0, str(ROOT / "tests"))
     from fixtures import _photo_planes
 
     r, g, b = (p.astype(np.float32) / 255.0 for p in _photo_planes())
-    luma = 0.2126 * r + 0.7152 * g + 0.0722 * b  # (1040, 1896)
-    y = np.ascontiguousarray(luma[:540, :1896])[None]  # (1, 540, 1896)
+    luma = 0.2126 * r + 0.7152 * g + 0.0722 * b
+    y = np.ascontiguousarray(luma[:540, :1896])[None]
+    assert y.shape == (1, 540, 1896), y.shape
     return vz.Clip.from_planes((y,), vz.get_format("GRAYS"))
 
 
@@ -127,11 +129,14 @@ def check():
     #   allow 1 LSB on a small fraction of pixels (same bound as the
     #   documented reference deviation).
     # * metrics: the golden tolerances (1e-3 relative).
-    # * EEDI3: the fused kernel is bit-identical to the XLA path ON ITS OWN
-    #   BACKEND, but TPU-vs-CPU cost ulps flip Viterbi tie-breaks on a few
-    #   percent of pixels (discrete argmin instability inherent to any
-    #   cross-backend float build, including the Zig reference); accept a
-    #   bounded flip fraction with everything else exact.
+    # * EEDI3: the fused kernel's costs are built with the same f32 op
+    #   order as the XLA path (FMA blocked via _nofma), so the Viterbi
+    #   argmin is deterministic across backends: outputs must match to 1
+    #   ulp with ZERO tie-break flips (a flip moves a pixel by ~0.1+, far
+    #   above the bound).  Round 3's photo-content failure (49 dB) was a
+    #   mis-plumbed one_minus_ab coefficient in the fused wrapper, not
+    #   float instability; with it fixed the measured cross-backend PSNR
+    #   on photographic content is 155.9 dB with max |d| == 0.0.
     results = []
     for name in want:
         g, w = got[name], want[name]
@@ -141,26 +146,14 @@ def check():
                                  np.asarray(w[k], float),
                                  rtol=1e-3, atol=1e-6, equal_nan=True)
                      for k in w)
-        elif name == "eedi3_photo":
-            # Score-impact bound on photographic content at production
-            # width (VERDICT r2 #9): tie-break flips may move pixels, but
-            # the *image-level* damage must be negligible — each flipped
-            # argmin picks a competing near-equal-cost direction, so the
-            # interpolated values land close.  Bound both the mean impact
-            # (PSNR between TPU and CPU full outputs, includes vcheck
-            # propagation) and the worst single pixel.
-            a, b = g[0].astype(np.float64), w[0].astype(np.float64)
-            mse = ((a - b) ** 2).mean()
-            psnr = 10 * np.log10(1.0 / mse) if mse else np.inf
-            maxd = np.abs(a - b).max()
-            ok = psnr > 55.0 and maxd < 0.25
-            detail = f" (cross-backend PSNR {psnr:.1f} dB, max |d| {maxd:.3f})"
-        elif name.startswith("eedi3"):  # incl. eedi3h
-            frac = max(
-                (np.abs(a.astype(np.float64) - b.astype(np.float64)) > 1e-6)
-                .mean() for a, b in zip(g, w))
-            ok = frac < 0.05
-            detail = f" (tie-break flips on {frac:.1%} of pixels)"
+        elif name.startswith("eedi3"):  # incl. eedi3h, eedi3_photo
+            # deterministic Viterbi: 1-ulp interpolation arithmetic only,
+            # zero argmin flips (a flip moves a pixel by ~0.1+)
+            maxd = max(
+                np.abs(a.astype(np.float64) - b.astype(np.float64)).max()
+                for a, b in zip(g, w))
+            ok = maxd < 1e-6
+            detail = f" (max |d| {maxd:.2e})"
         elif name == "bilateral":
             lsb = max(
                 np.abs(a.astype(np.int64) - b.astype(np.int64)).max()

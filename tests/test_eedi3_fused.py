@@ -103,7 +103,7 @@ def test_fused_mclip_matches_xla_interpret(monkeypatch):
     out_ref = E._output_nonhp(r3p, r1p, r1n, r3n, fpath_ref, W, mdis)
 
     out, fpath = K.eedi3_fused_pallas(r3p, r1p, r1n, r3n, W, mdis, nrad,
-                                      alpha, beta, gamma, mask)
+                                      alpha, beta, gamma, bmask=mask)
     np.testing.assert_array_equal(np.asarray(fpath), np.asarray(fpath_ref))
     np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
                                rtol=2e-7, atol=1e-7)
@@ -212,3 +212,53 @@ def test_vcheck_kernel_sclip_dh_interpret(monkeypatch, dh, field):
         monkeypatch, hp=False, vcheck=2, use_scp=True, dh=dh, field=field,
         seed=7 + dh)
     np.testing.assert_allclose(got, ref, rtol=2e-7, atol=1e-7)
+
+
+@pytest.mark.parametrize("hp", [False, True])
+def test_interp_all_fused_matches_xla_scaled_params(monkeypatch, hp):
+    """Production-path parity: drive _interp_all (which passes the SCALED
+    alpha/3 and beta/255 cost coefficients plus the separately-computed
+    one_minus_ab) with the fused path forced on, and compare against the
+    XLA path.  Guards the omab plumbing: round 3's eedi3_photo on-chip
+    failure was the fused wrapper recomputing one_minus_ab from the scaled
+    pair, which the kernel-level tests (unscaled args) could not catch."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import jax.experimental.pallas as plmod
+    E = importlib.import_module("vszip_tpu.ops.eedi3")
+    import vszip_tpu.kernels.eedi3_fused_pallas as K
+
+    orig = plmod.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(K.pl, "pallas_call", interp_call)
+
+    rng = np.random.default_rng(11)
+    B, L, W = 2, 9, 120
+    mdis, nrad = 6, 2
+    alpha, beta, gamma = 0.2, 0.25, 20.0  # reference defaults
+    one_minus_ab = np.float32(1.0) - np.float32(alpha) - np.float32(beta)
+    a_s, b_s, g_s = alpha / 3.0, beta / 255.0, gamma / 255.0
+    params = (mdis, nrad, float(np.float32(a_s)), float(np.float32(b_s)),
+              float(np.float32(g_s)), float(one_minus_ab))
+    rows4 = tuple(jnp.asarray(rng.random((B, L, W), np.float32))
+                  for _ in range(4))
+    dummy_mask = jnp.zeros((1,), jnp.uint8)
+
+    monkeypatch.setattr(E, "_dp_on_tpu", lambda: False)
+    out_ref, fp_ref = E._interp_all(rows4, dummy_mask, None, params, hp, W,
+                                    False)
+    out_ref, fp_ref = np.asarray(out_ref), np.asarray(fp_ref)
+
+    E._interp_all.clear_cache()
+    monkeypatch.setattr(E, "_dp_on_tpu", lambda: True)
+    out, fp = E._interp_all(rows4, dummy_mask, None, params, hp, W, False)
+    E._interp_all.clear_cache()
+
+    np.testing.assert_array_equal(np.asarray(fp), fp_ref)
+    np.testing.assert_allclose(np.asarray(out), out_ref, rtol=2e-7,
+                               atol=1e-7)

@@ -296,15 +296,25 @@ def fused_fits(w: int, mdis: int, hp: bool) -> bool:
     return costs + pit + interp + fixed <= 105 * 1024 * 1024
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10))
 def eedi3_fused_pallas(r3p, r1p, r1n, r3n, w: int, mdis: int, nrad: int,
-                       alpha: float, beta: float, gamma: float, bmask=None):
+                       alpha: float, beta: float, gamma: float,
+                       omab: float | None = None, bmask=None):
     """Fused cost+DP+backtrack+interp.  Inputs: (B, L, w + 2*PAD) f32
     padded rows; optional (B, L, w) bool mclip gate (reference _dp mclip
-    semantics).  Returns (out, fpath): (B, L, w) f32 / i32."""
+    semantics).  Returns (out, fpath): (B, L, w) f32 / i32.
+
+    `omab` is the reference's one_minus_ab = 1 - alpha - beta computed from
+    the UNSCALED user alpha/beta (src/vapoursynth/eedi3.zig:465 assigns it
+    BEFORE the alpha /= 3 scaling at :466); the `alpha`/`beta` arguments
+    here are the scaled cost coefficients, so omab cannot be derived from
+    them and must be supplied by the caller.  A None default (1-alpha-beta)
+    is only correct when the caller passes unscaled coefficients (the
+    kernel-level interpret tests do)."""
     b, l, wp = r3p.shape
     assert wp == w + 2 * PAD
-    omab = 1.0 - alpha - beta
+    if omab is None:
+        omab = 1.0 - alpha - beta
     tp = 2 * mdis + 1
     tpp = -(tp // -8) * 8
     bl = b * l
@@ -593,14 +603,17 @@ def _fused_kernel_hp(r3p_ref, r1p_ref, r1n_ref, r3n_ref, o_ref, fp_ref,
 
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10))
 def eedi3_fused_hp_pallas(r3p, r1p, r1n, r3n, w: int, mdis: int, nrad: int,
-                          alpha: float, beta: float, gamma: float):
+                          alpha: float, beta: float, gamma: float,
+                          omab: float | None = None):
     """Fused hp pipeline.  Inputs: (B, L, w + 2*PAD) f32 padded rows.
-    Returns (out, fpath): (B, L, w) f32 / i32."""
+    Returns (out, fpath): (B, L, w) f32 / i32.  See eedi3_fused_pallas for
+    the omab contract (must come from the unscaled alpha/beta)."""
     b, l, wp = r3p.shape
     assert wp == w + 2 * PAD
-    omab = 1.0 - alpha - beta
+    if omab is None:
+        omab = 1.0 - alpha - beta
     tp = 4 * mdis + 1
     tpp = -(tp // -8) * 8
     bl = b * l

@@ -499,14 +499,22 @@ def _interp_all(rows4, mask, scp_dummy, params, hp: bool, w: int, use_mask: bool
             # interpolation in VMEM (the 2*mdis+1 / 4*mdis+1-direction cost
             # tensor never touches HBM); the non-hp variant also takes the
             # mclip gate
+            # alpha/beta here are the SCALED cost coefficients (alpha/3,
+            # beta/255); one_minus_ab comes from the unscaled user values
+            # (reference src/vapoursynth/eedi3.zig:465-466) and must be
+            # passed through — recomputing it from the scaled pair inside
+            # the kernel wrapper mis-weighted the v term by ~1.7x and was
+            # the round-3 eedi3_photo on-chip parity failure.
             if hp:
                 out, fpath = eedi3_fused_hp_pallas(
                     r3p, r1p, r1n, r3n, w, mdis, nrad,
-                    float(alpha), float(beta), float(gamma))
+                    float(alpha), float(beta), float(gamma),
+                    float(one_minus_ab))
             else:
                 out, fpath = eedi3_fused_pallas(
                     r3p, r1p, r1n, r3n, w, mdis, nrad,
-                    float(alpha), float(beta), float(gamma), bm)
+                    float(alpha), float(beta), float(gamma),
+                    float(one_minus_ab), bm)
             return out, fpath
     if hp:
         clist = _costs_hp(r3p, r1p, r1n, r3n, mdis, nrad, alpha, beta,
