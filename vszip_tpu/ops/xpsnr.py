@@ -315,27 +315,37 @@ def xpsnr(reference: Clip, distorted: Clip, temporal: bool = True,
         tuple(ref.planes), tuple(dist.planes), depth, frame_rate,
         bool(temporal), (widths, heights),
     )
-    cur, avg = _prop_math(wsse, (widths, heights), depth)
-    names = ["XPSNR_Y", "XPSNR_U", "XPSNR_V"]
-    props = {names[c]: cur[:, c] for c in range(wsse.shape[1])}
-    props["XPSNR_AVG"] = avg
-    return distorted.with_props(**props)
-
-
-@partial(jax.jit, static_argnums=(1, 2))
-def _prop_math(wsse, dims, depth: int):
-    # prop math stays on device (f64 but tiny) and under ONE jit: a
-    # np.asarray would cost a full relay round trip per call, and eager
-    # per-op dispatch latency (~1.5 ms each on the relay) would otherwise
-    # dwarf the stats kernel itself
-    widths, heights = dims
     max_err = float(((1 << depth) - 1) ** 2)
-    n = wsse.shape[0]
-    sq = jnp.sqrt(wsse)  # (N, C)
-    sum_wdist = jnp.sum(sq, axis=0)
     num64 = jnp.asarray(
         [float(widths[c]) * heights[c] * max_err
          for c in range(wsse.shape[1])], wsse.dtype)
+    cur, avg = _prop_math(wsse, num64)
+    names = ["XPSNR_Y", "XPSNR_U", "XPSNR_V"]
+    props = {names[c]: cur[:, c] for c in range(wsse.shape[1])}
+    props["XPSNR_AVG"] = avg
+    # streaming support: the end-of-run average accumulates across ALL
+    # frames in the reference (src/vapoursynth/xpsnr.zig:89-96,114-128 sums
+    # sqrt(wsse) under a mutex and prints the aggregate on free), so a
+    # chunked executor cannot combine per-chunk XPSNR_AVG scalars.  Expose
+    # the raw per-frame wsse plus the per-component normalizer so
+    # runtime.stream can recompute the global average from totals with the
+    # SAME jitted _prop_math (bit-equal to a resident run).
+    props["_XPSNR_WSSE"] = wsse  # (N, C) f64, per-frame
+    props["_XPSNR_Num64"] = num64  # (C,) f64, constant across chunks
+    return distorted.with_props(**props)
+
+
+@jax.jit
+def _prop_math(wsse, num64):
+    # prop math stays on device (f64 but tiny) and under ONE jit: a
+    # np.asarray would cost a full relay round trip per call, and eager
+    # per-op dispatch latency (~1.5 ms each on the relay) would otherwise
+    # dwarf the stats kernel itself.  num64: (C,) per-component
+    # width*height*max_err normalizer (passed as data so the streaming
+    # finalizer can re-run this exact function on concatenated wsse).
+    n = wsse.shape[0]
+    sq = jnp.sqrt(wsse)  # (N, C)
+    sum_wdist = jnp.sum(sq, axis=0)
     cur = jnp.where(
         sq < 1.0, jnp.inf,
         10.0 * jnp.log10(num64[None, :] / jnp.maximum(sq, 1.0) ** 2))

@@ -111,7 +111,21 @@ def process_stream(source, op, *, batch: int = 32, overlap: int = 0,
     nxt = load(starts[0])
     for idx, start in enumerate(starts):
         clip, lead, tail = nxt
+        in_frames = clip.planes[0].shape[0]
         out = jop(clip)                      # async dispatch
+        out_frames = out.planes[0].shape[0]
+        if out_frames != in_frames:
+            # frame-count-changing ops (EEDI3/EEDI3H field=2/3 double the
+            # rate: input frame i -> output frames m*i .. m*i+m-1, a
+            # contiguous run, so halo trimming scales by m).  Non-multiple
+            # changes (trims, arbitrary selectors) can't be chunk-trimmed.
+            if out_frames % in_frames:
+                raise VSZipError(
+                    "process_stream: op changed the chunk frame count "
+                    f"{in_frames} -> {out_frames} (not an integer "
+                    "multiple); this op cannot be streamed in chunks.")
+            m = out_frames // in_frames
+            lead, tail = m * lead, m * tail
         if idx + 1 < len(starts):
             nxt = load(starts[idx + 1])      # H2D overlaps the compute
         if pending is not None:
@@ -122,7 +136,32 @@ def process_stream(source, op, *, batch: int = 32, overlap: int = 0,
     props: dict = dict(prop_scalars)
     for k, chunks in prop_chunks.items():
         props[k] = np.concatenate(chunks)
+    _finalize_aggregates(props)
     return props
+
+
+def _finalize_aggregates(props: dict) -> None:
+    """Recompute end-of-run aggregate props from accumulated per-frame
+    state.  Scalar props otherwise keep the LAST chunk's value, which for
+    metrics whose aggregate spans all frames (XPSNR's average — reference
+    src/vapoursynth/xpsnr.zig:89-96,114-128) would silently report only the
+    final chunk.  Ops opt in by attaching an ``_<OP>_AggMeta`` scalar prop
+    plus whatever per-frame arrays their finalizer needs; the recompute
+    reuses the op's own jitted aggregate math, so a streamed run is
+    bit-equal to a resident one."""
+    if "_XPSNR_WSSE" in props:
+        from ..ops.xpsnr import _prop_math
+
+        wsse = props.pop("_XPSNR_WSSE")
+        num64 = props.pop("_XPSNR_Num64")
+        _, avg = _prop_math(jax.numpy.asarray(wsse),
+                            jax.numpy.asarray(num64))
+        props["XPSNR_AVG"] = np.asarray(avg)
+
+
+# props that are constant metadata for the aggregate finalizers: never
+# per-frame even if their length happens to match a chunk's frame count
+_SCALAR_PROPS = frozenset({"_XPSNR_Num64"})
 
 
 def _drain(pending, sink, prop_chunks, prop_scalars):
@@ -130,7 +169,8 @@ def _drain(pending, sink, prop_chunks, prop_scalars):
     host_planes = tuple(np.asarray(p)[lead: p.shape[0] - tail if tail else p.shape[0]]
                         for p in out.planes) if sink is not None else None
     for k, v in out.props.items():
-        if hasattr(v, "shape") and getattr(v, "ndim", 0) >= 1 \
+        if k not in _SCALAR_PROPS and hasattr(v, "shape") \
+                and getattr(v, "ndim", 0) >= 1 \
                 and v.shape[0] == out.planes[0].shape[0]:
             prop_chunks.setdefault(k, []).append(
                 _trim(np.asarray(v), lead, tail))
