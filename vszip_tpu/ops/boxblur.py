@@ -167,7 +167,10 @@ def _taps_symmetric(x, radius: int, axis: int):
 def _blur_float_rt_1d(x, radius: int, axis: int):
     """One float box-mean pass.  The reference chains f32 adds in a running
     sum; we evaluate each window directly as an f32 tap ladder (no prefix
-    rounding drift — documented deviation, within test tolerances)."""
+    rounding drift — documented deviation, within test tolerances).  Only
+    used for SINGLE-pass float blurs; multipass chains amplify the ulp
+    difference past the golden tolerance, so they take the bit-exact
+    sliding accumulator below."""
     div = jnp.float32(1.0 / (2 * radius + 1))
     acc = None
     for tap in _taps_symmetric(x.astype(jnp.float32), radius, axis):
@@ -176,9 +179,55 @@ def _blur_float_rt_1d(x, radius: int, axis: int):
     return acc.astype(x.dtype)
 
 
+def _blur_float_exact_1d(x, radius: int, axis: int):
+    """One float box-mean pass replicating the reference's sliding f32
+    accumulator bit for bit (src/filters/boxblur_runtime.zig blurFloat):
+    ``sum = (src[r] + 2*src[0] + ... + 2*src[r-1]) * div`` then for every x
+    ``sum += (s1[x] - s2[x]) * div`` with the three-phase mirror tap
+    schedule.  The x-sequential dependence is a lax.scan whose carry is the
+    whole batch of rows — all parallelism rides the batch axes.  f16
+    accumulates in f32 and narrows per output, like the reference."""
+    length = x.shape[axis]
+    div = jnp.float32(1.0 / (2 * radius + 1))
+    xm = jnp.moveaxis(x.astype(jnp.float32), axis, 0)  # (len, ...)
+
+    init = xm[radius]
+    for i in range(radius):  # ascending adds, matching the scalar loop
+        init = init + xm[i] * jnp.float32(2.0)
+    init = init * div
+
+    s1_idx = np.empty(length, np.int64)
+    s2_idx = np.empty(length, np.int64)
+    for xx in range(length):
+        if xx <= radius:
+            s1_idx[xx], s2_idx[xx] = radius + xx, radius - xx
+        elif xx < length - radius:
+            s1_idx[xx], s2_idx[xx] = radius + xx, xx - radius - 1
+        else:
+            s1_idx[xx] = 2 * length - radius - xx - 1
+            s2_idx[xx] = xx - radius - 1
+    deltas = (jnp.take(xm, jnp.asarray(s1_idx), axis=0)
+              - jnp.take(xm, jnp.asarray(s2_idx), axis=0)) * div
+
+    def step(sum_, d):
+        s = sum_ + d
+        return s, s
+
+    _, out = jax.lax.scan(step, init, deltas)
+    return jnp.moveaxis(out, 0, axis).astype(x.dtype)
+
+
 def _rt_blur(x, hradius: int, hpasses: int, vradius: int, vpasses: int,
              is_int: bool):
-    blur1d = _blur_int_rt_1d if is_int else _blur_float_rt_1d
+    if not is_int and (hpasses > 1 or vpasses > 1):
+        # float multipass: the reference's sliding-accumulator rounding
+        # compounds per pass, so the tap ladder drifts past the golden
+        # tolerance (~5e-6 rel after 2-3 passes); run EVERY pass of both
+        # axes with the bit-exact accumulator so the whole chain matches
+        # the reference's blurFloat composition exactly
+        blur1d = _blur_float_exact_1d
+    else:
+        blur1d = _blur_int_rt_1d if is_int else _blur_float_rt_1d
     if hradius > 0 and hpasses > 0:
         if (is_int and hpasses > 1 and hradius <= 22 and x.ndim == 3
                 and _on_tpu()):
