@@ -161,3 +161,64 @@ def test_png_low_bit_depths_and_interlace(tmp_path):
     clip = image_read(str(p))
     got = np.stack([np.asarray(pl[0]) for pl in clip.planes], axis=-1)
     np.testing.assert_array_equal(got, rgb)
+
+
+def test_float32_pfm_to_rgbs(tmp_path):
+    """float32 sources -> RGBS/GRAYS output (reference image_read.zig:440
+    queryVideoFormat SampleType Float bps 32 for the float32 format)."""
+    rng = np.random.default_rng(9)
+    f = rng.random((6, 8, 3), np.float32)
+    p = tmp_path / "img.pfm"
+    p.write_bytes(b"PF\n8 6\n-1.0\n" + f[::-1].astype("<f4").tobytes())
+    clip = image_read(str(p))
+    assert clip.format.name == "RGBS"
+    for c in range(3):
+        np.testing.assert_array_equal(
+            np.asarray(clip.planes[c])[0], f[..., c])
+    assert clip.props["zigimg_format"] == "float32"
+    assert clip.props["zigimg_bits"] == 32
+
+    g = rng.random((4, 5, 1), np.float32)
+    pg = tmp_path / "img_g.pfm"
+    pg.write_bytes(b"Pf\n5 4\n-1.0\n" + g[::-1].astype("<f4").tobytes())
+    gclip, aclip = image_read(str(pg), alpha=True)
+    assert gclip.format.name == "GRAYS"
+    assert aclip.format.name == "GRAYS"
+    np.testing.assert_array_equal(np.asarray(aclip.planes[0]),
+                                  np.ones((1, 4, 5), np.float32))
+
+
+def test_zigimg_props(tmp_path):
+    """zigimg_file_path / zigimg_format / zigimg_bits frame props
+    (reference src/vapoursynth/image_read.zig:348-350)."""
+    img = _rand_img((6, 8, 3))
+    p1 = tmp_path / "a.png"
+    p2 = tmp_path / "b.png"
+    p1.write_bytes(encode_png(img))
+    p2.write_bytes(encode_png(img))
+    clip = image_read([str(p1), str(p2)])
+    assert clip.props["zigimg_file_path"] == (str(p1), str(p2))
+    assert clip.props["zigimg_format"] == "rgb24"
+    assert clip.props["zigimg_bits"] == 8
+
+    PIL = pytest.importorskip("PIL.Image")
+    import io as _io
+
+    g1 = (np.arange(64).reshape(8, 8) % 2 * 255).astype(np.uint8)
+    buf = _io.BytesIO()
+    PIL.fromarray(g1).convert("1").save(buf, format="PNG")
+    low = tmp_path / "low.png"
+    low.write_bytes(buf.getvalue())
+    clip = image_read(str(low))
+    assert clip.props["zigimg_format"] == "grayscale1"
+    assert clip.props["zigimg_bits"] == 1
+
+
+def test_netpbm_through_image_read(tmp_path):
+    g = _rand_img((5, 7, 1))
+    p = tmp_path / "img.pgm"
+    p.write_bytes(b"P5 7 5 255\n" + g[..., 0].tobytes())
+    clip = image_read(str(p))
+    assert clip.format.name == "GRAY8"
+    np.testing.assert_array_equal(np.asarray(clip.planes[0])[0], g[..., 0])
+    assert clip.props["zigimg_format"] == "grayscale8"

@@ -162,4 +162,184 @@ def decode_tga(data: bytes) -> DecodedImage:
         px = px[::-1]
     if gray:
         px = px[:, :, :1]
-    return DecodedImage(np.ascontiguousarray(px), gray, has_alpha, {})
+    # zigimg tags: TGA truecolor decodes as bgr24/bgra32; indexed via
+    # indexed8; 16-bit sources are A1R5G5B5 (zigimg's bgr555, which the
+    # reference REJECTS at create — we widen and accept as a superset but
+    # keep the honest source tag/bits)
+    if img_type in (1, 9):
+        ztag, zb = "indexed8", 8
+    elif gray:
+        ztag, zb = "grayscale8", 8
+    elif bpp in (15, 16):
+        ztag, zb = "bgr555", 5
+    else:
+        ztag, zb = ("bgra32", 8) if has_alpha else ("bgr24", 8)
+    return DecodedImage(np.ascontiguousarray(px), gray, has_alpha, {},
+                        ztag, zb)
+
+
+# ---------------------------------------------------------------------------
+# netpbm family: PBM (P1/P4), PGM (P2/P5), PPM (P3/P6), PAM (P7), and the
+# float PFM (PF color / Pf gray).  The reference accepts these through
+# zigimg's pbm/pgm/ppm/pam decoders (src/vapoursynth/image_read.zig:440
+# lists the resulting grayscale*/rgb*/float32 pixel formats); PFM is the
+# float32 source path (f32 planes -> GRAYS/RGBS output).
+# ---------------------------------------------------------------------------
+
+
+def _pnm_tokens(data: bytes, pos: int, count: int):
+    """Read `count` whitespace-separated tokens skipping '#' comments."""
+    toks = []
+    n = len(data)
+    while len(toks) < count:
+        while pos < n and data[pos : pos + 1].isspace():
+            pos += 1
+        if pos < n and data[pos : pos + 1] == b"#":
+            while pos < n and data[pos] not in (10, 13):
+                pos += 1
+            continue
+        start = pos
+        while pos < n and not data[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated netpbm header")
+        toks.append(data[start:pos])
+    return toks, pos
+
+
+def decode_pnm(data: bytes) -> DecodedImage:
+    magic = data[:2]
+    if magic in (b"PF", b"Pf"):
+        # PFM: header "PF|Pf <w> <h> <scale>", one whitespace, then
+        # little-endian (scale < 0) or big-endian f32 rows, BOTTOM-UP
+        toks, pos = _pnm_tokens(data, 2, 3)
+        w, h = int(toks[0]), int(toks[1])
+        scale = float(toks[2])
+        pos += 1  # single whitespace after the scale token
+        nchan = 3 if magic == b"PF" else 1
+        dt = "<f4" if scale < 0 else ">f4"
+        px = np.frombuffer(data, dt, w * h * nchan, pos).astype(np.float32)
+        px = px.reshape(h, w, nchan)[::-1]
+        return DecodedImage(np.ascontiguousarray(px), nchan == 1, False, {},
+                            "float32", 32)
+    if magic == b"P7":
+        # PAM: free-form header lines up to ENDHDR
+        hdr_end = data.find(b"ENDHDR\n")
+        if hdr_end < 0:
+            raise ValueError("PAM without ENDHDR")
+        fields = {}
+        for line in data[2:hdr_end].decode("ascii", "replace").splitlines():
+            line = line.split("#")[0].strip()
+            if line:
+                k, _, v = line.partition(" ")
+                fields[k.upper()] = v.strip()
+        w, h = int(fields["WIDTH"]), int(fields["HEIGHT"])
+        depth = int(fields["DEPTH"])
+        maxval = int(fields["MAXVAL"])
+        tupl = fields.get("TUPLTYPE", "")
+        pos = hdr_end + 7
+        wide = maxval > 255
+        dt = ">u2" if wide else np.uint8
+        px = np.frombuffer(data, dt, w * h * depth, pos)
+        px = px.astype(np.uint16 if wide else np.uint8).reshape(h, w, depth)
+        gray = depth <= 2 and "RGB" not in tupl
+        has_alpha = depth in (2, 4) or tupl.endswith("_ALPHA")
+        b = 16 if wide else 8
+        ztag = (f"grayscale{b}" + ("Alpha" if has_alpha else "")) if gray \
+            else (("rgba64" if b == 16 else "rgba32") if has_alpha
+                  else ("rgb48" if b == 16 else "rgb24"))
+        return DecodedImage(np.ascontiguousarray(px), gray, has_alpha, {},
+                            ztag, b)
+    if magic not in (b"P1", b"P2", b"P3", b"P4", b"P5", b"P6"):
+        raise ValueError("not a netpbm file")
+    kind = magic[1] - 48
+    nchan = 3 if kind in (3, 6) else 1
+    is_bitmap = kind in (1, 4)
+    nhdr = 2 if is_bitmap else 3
+    toks, pos = _pnm_tokens(data, 2, nhdr)
+    w, h = int(toks[0]), int(toks[1])
+    maxval = 1 if is_bitmap else int(toks[2])
+    if kind <= 3 and not is_bitmap:
+        vals, pos = _pnm_tokens(data, pos, w * h * nchan)
+        px = np.asarray([int(v) for v in vals], np.int64)
+    elif kind == 1:  # ascii bitmap: digits may be unseparated
+        digits = [c - 48 for c in data[pos:] if c in (48, 49)]
+        px = np.asarray(digits[: w * h], np.int64)
+    elif kind == 4:  # packed bitmap, rows padded to bytes
+        pos += 1
+        stride = (w + 7) // 8
+        rows = np.frombuffer(data, np.uint8, stride * h, pos)
+        bits = np.unpackbits(rows.reshape(h, stride), axis=1)[:, :w]
+        px = bits.astype(np.int64).reshape(-1)
+    else:  # P5/P6 binary
+        pos += 1
+        wide = maxval > 255
+        dt = ">u2" if wide else np.uint8
+        px = np.frombuffer(data, dt, w * h * nchan, pos).astype(np.int64)
+    if is_bitmap:
+        # PBM: 1 = black -> 0, 0 = white -> 255 (zigimg grayscale1 widened)
+        px = np.where(px > 0, 0, 255).astype(np.uint8)
+        out = px.reshape(h, w, 1)
+        return DecodedImage(np.ascontiguousarray(out), True, False, {},
+                            "grayscale1", 1)
+    wide = maxval > 255
+    dtype = np.uint16 if wide else np.uint8
+    out = px.astype(dtype).reshape(h, w, nchan)
+    b = 16 if wide else 8
+    ztag = f"grayscale{b}" if nchan == 1 else ("rgb48" if wide else "rgb24")
+    return DecodedImage(np.ascontiguousarray(out), nchan == 1, False, {},
+                        ztag, b)
+
+
+# ---------------------------------------------------------------------------
+# PCX (ZSoft Paintbrush): RLE-compressed planar rows; 1-bit, 8-bit paletted
+# (VGA palette trailer), and 24-bit (3-plane) images — the layouts zigimg's
+# pcx decoder produces as indexed1/indexed8/rgb24.
+# ---------------------------------------------------------------------------
+
+
+def decode_pcx(data: bytes) -> DecodedImage:
+    if len(data) < 128 or data[0] != 0x0A:
+        raise ValueError("not a PCX file")
+    version, enc, bpp = data[1], data[2], data[3]
+    x0, y0, x1, y1 = struct.unpack("<4H", data[4:12])
+    nplanes = data[65]
+    stride = struct.unpack("<H", data[66:68])[0]
+    w, h = x1 - x0 + 1, y1 - y0 + 1
+    if enc != 1:
+        raise ValueError("uncompressed PCX not supported")
+    total = stride * nplanes * h
+    out = np.empty(total, np.uint8)
+    pos, o = 128, 0
+    while o < total and pos < len(data):
+        b = data[pos]; pos += 1
+        if (b & 0xC0) == 0xC0:
+            run = b & 0x3F
+            v = data[pos]; pos += 1
+            out[o : o + run] = v
+            o += run
+        else:
+            out[o] = b
+            o += 1
+    rows = out.reshape(h, nplanes, stride)
+    if bpp == 8 and nplanes == 3:
+        px = np.ascontiguousarray(rows[:, :, :w].transpose(0, 2, 1))
+        return DecodedImage(px, False, False, {}, "rgb24", 8)
+    if bpp == 8 and nplanes == 1:
+        idx = rows[:, 0, :w]
+        # VGA palette trailer: 0x0C marker + 768 bytes
+        if len(data) >= 769 and data[-769] == 0x0C:
+            pal = np.frombuffer(data, np.uint8, 768, len(data) - 768)
+            pal = pal.reshape(256, 3)
+        else:
+            pal = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, 1)
+        px = pal[idx]
+        # indexed source => alpha clip semantics like PNG palette images
+        return DecodedImage(np.ascontiguousarray(px), False, True, {},
+                            "indexed8", 8)
+    if bpp == 1 and nplanes == 1:
+        bits = np.unpackbits(rows[:, 0, :], axis=1)[:, :w]
+        px = (bits * 255).astype(np.uint8)[:, :, None]
+        return DecodedImage(np.ascontiguousarray(px), True, False, {},
+                            "indexed1", 1)
+    raise ValueError(f"unsupported PCX layout (bpp={bpp}, planes={nplanes})")

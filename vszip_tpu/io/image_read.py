@@ -89,9 +89,15 @@ def image_read(path, validate: bool = False, alpha: bool = False):
                 )
 
     h, w, nchan = first.pixels.shape
+    is_float = first.pixels.dtype == np.float32
     depth16 = first.pixels.dtype == np.uint16
     gray = first.gray
-    if gray:
+    if is_float:
+        # zigimg float32 sources -> 32-bit float output (reference
+        # src/vapoursynth/image_read.zig:440 queryVideoFormat with
+        # SampleType Float, bps 32; :325-327 copyPixels(f32, ...))
+        fmt = get_format("GRAYS" if gray else "RGBS")
+    elif gray:
         fmt = get_format("GRAY16" if depth16 else "GRAY8")
     else:
         fmt = get_format("RGB48" if depth16 else "RGB24")
@@ -105,6 +111,11 @@ def image_read(path, validate: bool = False, alpha: bool = False):
     props["_ColorRange"] = 0
     if not gray:
         props["_Matrix"] = 0  # RGB
+    # source-file observability props (reference image_read.zig:348-350)
+    props["zigimg_file_path"] = tuple(
+        p if isinstance(p, str) else str(p) for p in paths)
+    props["zigimg_format"] = first.zformat
+    props["zigimg_bits"] = int(first.zbits)
     clip = Clip.from_planes(planes, fmt, props)
 
     if not alpha:
@@ -112,7 +123,8 @@ def image_read(path, validate: bool = False, alpha: bool = False):
     if first.has_alpha and stack.shape[-1] in (2, 4):
         a = np.ascontiguousarray(stack[..., -1])
     else:
-        peak = 65535 if depth16 else 255
+        peak = (1.0 if is_float else 65535 if depth16 else 255)
         a = np.full((len(imgs), h, w), peak, planes[0].dtype)
-    afmt = get_format("GRAY16" if depth16 else "GRAY8")
+    afmt = get_format("GRAYS" if is_float else
+                      "GRAY16" if depth16 else "GRAY8")
     return clip, Clip.from_planes((a,), afmt, {"_ColorRange": 0})

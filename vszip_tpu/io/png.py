@@ -20,10 +20,34 @@ import numpy as np
 
 @dataclass
 class DecodedImage:
-    pixels: np.ndarray          # (H, W, C) uint8 or uint16
+    pixels: np.ndarray          # (H, W, C) uint8, uint16 or float32
     gray: bool
     has_alpha: bool
     chunks: dict = field(default_factory=dict)  # gama/srgb/chrm/cicp
+    # zigimg PixelFormat tag of the SOURCE file (reference
+    # src/vapoursynth/image_read.zig:349 sets it as the zigimg_format
+    # frame prop) and its bits-per-channel (zigimg_bits prop; may be < 8
+    # for sub-byte gray/indexed sources even though pixels are widened)
+    zformat: str = ""
+    zbits: int = 0
+
+    def __post_init__(self):
+        if not self.zformat:
+            c = self.pixels.shape[-1]
+            if self.pixels.dtype == np.float32:
+                self.zformat = "float32"
+            elif self.gray:
+                b = 8 if self.pixels.dtype == np.uint8 else 16
+                self.zformat = f"grayscale{b}" + ("Alpha" if self.has_alpha
+                                                 else "")
+            else:
+                b = 8 if self.pixels.dtype == np.uint8 else 16
+                self.zformat = (("rgba32" if b == 8 else "rgba64")
+                                if c == 4 else
+                                ("rgb24" if b == 8 else "rgb48"))
+        if not self.zbits:
+            self.zbits = (32 if self.pixels.dtype == np.float32
+                          else 8 if self.pixels.dtype == np.uint8 else 16)
 
 
 def _paeth(a, b, c):
@@ -174,6 +198,7 @@ def decode_png(data: bytes) -> DecodedImage:
     if ctype == 3:
         idx = px[:, :, 0]
         rgb = palette[idx]
+        ztag, zb = f"indexed{depth}", depth
         if trns is not None:
             a = np.full((h, w), 255, np.uint8)
             lim = min(len(trns), palette.shape[0])
@@ -181,11 +206,16 @@ def decode_png(data: bytes) -> DecodedImage:
                 np.concatenate([trns, np.full(256 - len(trns), 255, np.uint8)]),
                 idx), a)
             px = np.concatenate([rgb, a[..., None]], axis=-1)
-            return DecodedImage(px, False, True, chunks)
-        return DecodedImage(rgb, False, True, chunks)  # indexed => alpha clip
+            return DecodedImage(px, False, True, chunks, ztag, zb)
+        # indexed => alpha clip
+        return DecodedImage(rgb, False, True, chunks, ztag, zb)
     gray = ctype in (0, 4)
     has_alpha = ctype in (4, 6)
-    return DecodedImage(px, gray, has_alpha, chunks)
+    if ctype == 0 and depth < 8:
+        ztag, zb = f"grayscale{depth}", depth
+    else:
+        ztag, zb = "", 0  # derived from pixels by __post_init__
+    return DecodedImage(px, gray, has_alpha, chunks, ztag, zb)
 
 
 def decode_bmp(data: bytes) -> DecodedImage:
@@ -209,8 +239,10 @@ def decode_bmp(data: bytes) -> DecodedImage:
     rgb = arr[:, :, 2::-1]  # BGR(A) -> RGB
     if bpp == 32:
         px = np.concatenate([rgb, arr[:, :, 3:4]], axis=-1)
-        return DecodedImage(np.ascontiguousarray(px), False, True, {})
-    return DecodedImage(np.ascontiguousarray(rgb), False, False, {})
+        return DecodedImage(np.ascontiguousarray(px), False, True, {},
+                            "bgra32", 8)
+    return DecodedImage(np.ascontiguousarray(rgb), False, False, {},
+                        "bgr24", 8)
 
 
 def decode(data: bytes) -> DecodedImage:
@@ -222,9 +254,19 @@ def decode(data: bytes) -> DecodedImage:
         from .codecs import decode_qoi
 
         return decode_qoi(data)
+    if data[:1] == b"P" and data[1:2] in b"1234567Ff":
+        from .codecs import decode_pnm
+
+        return decode_pnm(data)
+    if data[:1] == b"\x0a" and data[1:2] in b"\x00\x02\x03\x05" \
+            and data[2:3] == b"\x01":
+        from .codecs import decode_pcx
+
+        return decode_pcx(data)
     if len(data) >= 18 and data[1] in (0, 1) and data[2] in (1, 2, 3, 9, 10, 11):
         from .codecs import decode_tga
 
         return decode_tga(data)
     raise ValueError(
-        "unsupported image format (PNG, BMP, QOI and TGA are supported)")
+        "unsupported image format (PNG, BMP, QOI, TGA, netpbm "
+        "PBM/PGM/PPM/PAM/PFM and PCX are supported)")
