@@ -2,10 +2,10 @@
 
 CASES / CASES_H are the reference's exact case lists (reference
 tests/test_eedi3.py:22-63), so every id resolves against the reference's
-own goldens/eedi3.json / eedi3h.json.  The comparison tolerance is 2e-5
-instead of the reference suite's 1e-6: cross-ISA f32 builds flip a small
-fraction of exact argmin ties in the Viterbi cost ranking (quantified in
-benchmarks/tpu_parity.py), which moves plane averages by ~1e-6 absolute."""
+own goldens/eedi3.json / eedi3h.json at the reference suite's default
+tolerance rel=1e-6 (tightened from 2e-5 in round 4: with the cost build
+mirroring the reference's f32 op order, the Viterbi ranking is stable
+and the goldens hold at the reference's own bar)."""
 
 import numpy as np
 import pytest
@@ -61,14 +61,14 @@ CASES_H = (
 def test_golden(golden, make_clip, case):
     clip = make_clip(case.fmt, case.geometry)
     out = eedi3(clip, **case.args)
-    golden.check("eedi3", case, out, rel=2e-5)
+    golden.check("eedi3", case, out, rel=1e-6)
 
 
 @pytest.mark.parametrize("case", CASES_H, ids=str)
 def test_golden_h(golden, make_clip, case):
     clip = make_clip(case.fmt, case.geometry)
     out = eedi3h(clip, **case.args)
-    golden.check("eedi3h", case, out, rel=2e-5)
+    golden.check("eedi3h", case, out, rel=1e-6)
 
 
 @pytest.mark.parametrize(

@@ -53,21 +53,24 @@ def _distort(clip, kind):
 
 @pytest.mark.parametrize("case", CASES, ids=str)
 def test_golden(golden, make_clip, case):
-    """REFERENCE-pinned scores at rel=1e-3 with a documented 0.1 absolute
+    """REFERENCE-pinned scores at rel=1e-3 with a documented 0.08 absolute
     floor: with bit-exact inputs (RGB24/RGBS + exact std.BoxBlur) the score
-    residual vs the reference binary is <=0.003; YUV/GRAY cases carry an
-    additional ~0.01-0.08 from LSB-level rounding-tie deviations in the
-    chroma upsample + EOTF/vcl-vs-XLA transcendental differences, amplified
-    at the lowest-distortion (blur1) recipes.  Measured residuals (this
-    suite, 2026-08): max |delta| 0.077 (YUV420P16|odd|dist=blur1); every
-    variant tested (Q14 vs ideal-f64 upsample, mirror vs clamp edges, shift
-    scan, EOTF constants) leaves the same floor, so the residual is pinned
-    as a documented deviation rather than hidden by a looser rel."""
+    residual vs the reference binary is <=0.003; the three YUV blur1
+    (lowest-distortion) cases carry 0.031-0.077 from LSB-level rounding-tie
+    deviations in the integer chroma-upsample/EOTF conversion, amplified by
+    the tiny distortion.  Round 4 ported the reference's VCL2 cbrt
+    polynomial into the XYB path (ops/ssimulacra2.py _vcl_cbrt) — it left
+    the floor essentially unchanged (0.077 -> 0.0765), isolating the
+    residual to the input-conversion ties, not transcendentals; the
+    earlier variant study (Q14 vs ideal-f64 upsample, mirror vs clamp
+    edges, shift scan, EOTF constants) hit the same floor.  Mixed residual
+    signs across the three cases (+0.077/-0.031/-0.033) are consistent
+    with tie-flip noise rather than bias."""
     clip = make_clip(case.fmt, case.geometry)
     out = ssimulacra2(clip, _distort(clip, case.args["dist"]))
     golden.check_value(
         "ssimulacra2", case, float(np.asarray(out.props["SSIMULACRA2"])[0]),
-        rel=1e-3, abs_=0.1,
+        rel=1e-3, abs_=0.08,
     )
 
 

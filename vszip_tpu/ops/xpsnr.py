@@ -29,7 +29,7 @@ reproduces the missing-frame semantics; the small-frame smoothing is a
 from __future__ import annotations
 
 import math
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -315,10 +315,7 @@ def xpsnr(reference: Clip, distorted: Clip, temporal: bool = True,
         tuple(ref.planes), tuple(dist.planes), depth, frame_rate,
         bool(temporal), (widths, heights),
     )
-    max_err = float(((1 << depth) - 1) ** 2)
-    num64 = jnp.asarray(
-        [float(widths[c]) * heights[c] * max_err
-         for c in range(wsse.shape[1])], wsse.dtype)
+    num64 = _num64_const(widths, heights, depth, wsse.shape[1])
     cur, avg = _prop_math(wsse, num64)
     names = ["XPSNR_Y", "XPSNR_U", "XPSNR_V"]
     props = {names[c]: cur[:, c] for c in range(wsse.shape[1])}
@@ -333,6 +330,18 @@ def xpsnr(reference: Clip, distorted: Clip, temporal: bool = True,
     props["_XPSNR_WSSE"] = wsse  # (N, C) f64, per-frame
     props["_XPSNR_Num64"] = num64  # (C,) f64, constant across chunks
     return distorted.with_props(**props)
+
+
+@lru_cache(maxsize=64)
+def _num64_const(widths, heights, depth: int, ncomp: int):
+    """(C,) per-component width*height*max_err normalizer as a CACHED
+    device constant: building it per call cost a host->device transfer on
+    every xpsnr() (the relay round trip collapsed the benchmark 6.5k ->
+    1.7k fps when this was inline)."""
+    max_err = float(((1 << depth) - 1) ** 2)
+    return jnp.asarray(
+        [float(widths[c]) * heights[c] * max_err for c in range(ncomp)],
+        jnp.float64)
 
 
 @jax.jit
