@@ -315,8 +315,6 @@ def test_format_matrix_vs_reference():
         "rgb24", "rgba32", "bgr24", "bgra32", "rgb48", "rgba64",
         "indexed1", "indexed2", "indexed4", "indexed8", "float32",
     }
-    # indexed16 is accepted by the reference but no shipped container here
-    # produces it (PNG palettes are <= 8-bit, PCX <= 8-bit): documented gap.
     producible = {
         # PNG: gray 1/2/4/8/16, gray+alpha, rgb 8/16, rgba 8/16,
         # indexed 1/2/4/8
@@ -328,5 +326,23 @@ def test_format_matrix_vs_reference():
         "bgr24", "bgra32",
         # netpbm / PFM
         "float32",
+        # TGA 16-bit color-map indices
+        "indexed16",
     }
     assert accepted <= producible
+
+
+def test_tga_colormapped_16bit_indices():
+    """TGA type 1 with a 16-bit index field (zigimg indexed16)."""
+    rng = np.random.default_rng(6)
+    ncol = 300  # force indices > 255
+    cmap = rng.integers(0, 256, (ncol, 3), np.uint8)
+    idx = rng.integers(0, ncol, (4, 5)).astype("<u2")
+    cmap_bgr = cmap[:, ::-1].astype(np.uint8)  # stored as BGR 24-bit
+    hdr = struct.pack("<BBBHHBHHHHBB", 0, 1, 1, 0, ncol, 24,
+                      0, 0, 5, 4, 16, 0x20)
+    data = hdr + cmap_bgr.tobytes() + idx.tobytes()
+    from vszip_tpu.io.codecs import decode_tga
+    im = decode_tga(data)
+    np.testing.assert_array_equal(im.pixels, cmap[idx])
+    assert im.zformat == "indexed16" and im.zbits == 16

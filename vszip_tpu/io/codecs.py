@@ -146,10 +146,13 @@ def decode_tga(data: bytes) -> DecodedImage:
     else:
         raw = np.frombuffer(data, np.uint8, npx * pbytes, pos).copy()
 
-    if img_type in (1, 9):  # color-mapped
+    if img_type in (1, 9):  # color-mapped (8- or 16-bit indices)
         if cmap is None:
             raise ValueError("color-mapped TGA without a color map")
-        idx = raw.astype(np.int64) - cmap_origin
+        if bpp == 16:
+            idx = raw.view("<u2").astype(np.int64) - cmap_origin
+        else:
+            idx = raw.astype(np.int64) - cmap_origin
         px = cmap[idx]
         has_alpha = cmap_alpha
         gray = False
@@ -167,7 +170,7 @@ def decode_tga(data: bytes) -> DecodedImage:
     # reference REJECTS at create — we widen and accept as a superset but
     # keep the honest source tag/bits)
     if img_type in (1, 9):
-        ztag, zb = "indexed8", 8
+        ztag, zb = ("indexed16", 16) if bpp == 16 else ("indexed8", 8)
     elif gray:
         ztag, zb = "grayscale8", 8
     elif bpp in (15, 16):
