@@ -157,23 +157,48 @@ def main():
         vz.get_format("YUV420P16")).device()
     nbytes = sum(int(np.prod(pl.shape)) * 2 for pl in y16_b.planes)
 
-    def copy_bound(c):
-        # the clip must ride as a CALL ARGUMENT: closing over it embeds
-        # ~400 MB of constants in the relay's compile request (HTTP 413)
-        return tuple(p + jnp.uint16(1) for p in c.planes)
+    # CHAINED measurement (out = j(out)), like bench.py's flagship loop:
+    # independent same-input calls keep ~10 x 800 MB of outputs in flight
+    # and measure allocator churn instead of bandwidth (10.9 ms vs 1.2 ms
+    # chained+donated for the identical copy).  The clips must ride as
+    # CALL ARGUMENTS: closing over them embeds ~400 MB of constants in the
+    # relay's compile request (HTTP 413).
+    import time as _time
 
-    t_copy = bench("HBM copy bound (read+write all planes)",
-                   copy_bound, y16_b, n=10)
-    t_blur = bench("boxblur r13 (the flagship)",
-                   lambda c: vz.boxblur(c, hradius=13, vradius=13).planes,
-                   y16_b, n=10)
+    def chain_bench(name, fn, init, iters=100, donate=False, reps=3):
+        # best of `reps`: relay-side dispatch/allocator state moves single
+        # runs by 3x (measured 1.2 vs 4.2 ms for the identical copy loop)
+        j = jax.jit(fn, donate_argnums=(0,) if donate else ())
+        out = j(init)
+        np.asarray(out[0].ravel()[0])
+        best = None
+        for _ in range(reps):
+            t0 = _time.perf_counter()
+            for _ in range(iters):
+                out = j(out)
+            np.asarray(out[0].ravel()[0])
+            dt = (_time.perf_counter() - t0) / iters
+            best = dt if best is None else min(best, dt)
+        print(f"{name:44s} {best * 1e3:9.2f} ms", flush=True)
+        return best
+
+    # blur first: the donated copy consumes (deletes) the input buffers
+    t_blur = chain_bench(
+        "boxblur r13 (the flagship, chained)",
+        lambda ps: tuple(vz.boxblur(
+            vz.Clip.from_planes(ps, vz.get_format("YUV420P16")),
+            hradius=13, vradius=13).planes),
+        tuple(y16_b.planes))
+    t_copy = chain_bench(
+        "HBM copy floor (chained+donated, all planes)",
+        lambda ps: tuple(p + jnp.uint16(1) for p in ps),
+        tuple(y16_b.planes), donate=True)
     gbs = 2 * nbytes / t_copy / 1e9
     print(f"  -> copy moves {2 * nbytes / 1e6:.0f} MB in {t_copy * 1e3:.2f} "
-          f"ms = {gbs:.0f} GB/s effective (v5e HBM peak 819); blur/copy "
-          f"ratio {t_blur / t_copy:.2f}x — the gap between the blur's "
-          f"effective GB/s and the roofline splits into (copy vs peak) = "
-          f"achievable-bandwidth ceiling on this relay host and "
-          f"(blur vs copy) = kernel overhead on top of pure traffic",
+          f"ms = {gbs:.0f} GB/s effective (v5e HBM peak 819, so the relay "
+          f"is NOT the bandwidth limiter); blur/copy ratio "
+          f"{t_blur / t_copy:.2f}x = V+H arithmetic on top of pure "
+          f"traffic (see the round-4 breakdown below)",
           flush=True)
     # Round-4 measured breakdown (VERDICT r3 weak #7), chained dispatch,
     # batch 64 YUV420P16 1080p on one v5e behind the relay:
