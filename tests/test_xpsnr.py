@@ -184,26 +184,33 @@ def test_matches_literal_oracle(make_temporal_clip, fps, temporal):
                                    err_msg=f"frame {n} fps={fps} t={temporal}")
 
 
+@pytest.mark.parametrize("depth", [8, 10], ids=["8bit", "10bit"])
 @pytest.mark.parametrize("fps,temporal", [(24, True), (60, True), (24, False)],
                          ids=["order1", "order2", "spatial"])
-def test_matches_literal_oracle_above_hd(fps, temporal):
+def test_matches_literal_oracle_above_hd(fps, temporal, depth):
     """>HD regime (w*h > 2048*1152, b_val==2): the op's _highds_map /
     _cell2_sums paths vs the literal oracle.  The reference only covers this
     regime via its opt-in FFmpeg oracle (reference tests/test_xpsnr_ffmpeg.py).
     2290x1296 makes the last block column 10 px wide (w_act=8 <= 12), also
-    exercising the narrow-block highds skip."""
+    exercising the narrow-block highds skip.  depth=10 pins the regime the
+    one remaining REF_EXCLUDE golden exercises (highds x 10-bit): round-4
+    forensics showed op == oracle at 1e-16 there, and this keeps it so."""
     from oracle.xpsnr_ref import wsse_frame_ref
     from vszip_tpu.ops.xpsnr import _xpsnr_frame_stats
 
     rng = np.random.default_rng(5)
     w, h, n = 2290, 1296, 3
+    peak = (1 << depth) - 1
+    dt = np.uint8 if depth == 8 else np.uint16
     widths, heights = (w, w // 2, w // 2), (h, h // 2, h // 2)
-    orgs = [rng.integers(0, 256, (n, hh, ww), dtype=np.uint8)
+    orgs = [rng.integers(0, peak + 1, (n, hh, ww), dtype=dt)
             for ww, hh in zip(widths, heights)]
-    recs = [np.clip(p.astype(np.int16) + rng.integers(-3, 4, p.shape),
-                    0, 255).astype(np.uint8) for p in orgs]
+    recs = [np.clip(p.astype(np.int32) + rng.integers(-3 << (depth - 8),
+                                                      (4 << (depth - 8)),
+                                                      p.shape),
+                    0, peak).astype(dt) for p in orgs]
     got = np.asarray(
-        _xpsnr_frame_stats(tuple(orgs), tuple(recs), 8, fps, temporal,
+        _xpsnr_frame_stats(tuple(orgs), tuple(recs), depth, fps, temporal,
                            (widths, heights))
     )
     for fn in range(n):
@@ -211,7 +218,7 @@ def test_matches_literal_oracle_above_hd(fps, temporal):
         p2 = orgs[0][fn - 2] if fn >= 2 else None
         want = wsse_frame_ref(
             [o[fn] for o in orgs], [r[fn] for r in recs], p1, p2,
-            widths, heights, 8, fps, temporal,
+            widths, heights, depth, fps, temporal,
         )
         np.testing.assert_allclose(got[fn], want, rtol=0, atol=1,
                                    err_msg=f"frame {fn} fps={fps} t={temporal}")
