@@ -177,25 +177,19 @@ def test_streamed_non_multiple_frame_change_rejected(src):
 
 
 def test_streamed_over_mesh_matches_resident(src):
-    """Chunked streaming composed with the 8-device frames mesh: each
-    chunk is sharded over devices before the op runs; results must equal
-    the single-device resident run bit for bit."""
-    from vszip_tpu.parallel.mesh import frames_mesh, shard_clip
+    """Chunked streaming composed with the 8-device frames mesh via the
+    first-class ``mesh=`` parameter: full chunks are placed
+    frames-sharded, the indivisible tail falls back to single-device, and
+    the assembled result equals the resident run bit for bit."""
+    from vszip_tpu.parallel.mesh import frames_mesh
 
     mesh = frames_mesh(8)
     resident = boxblur(
         Clip.from_planes(src.planes, src.format), hradius=3, vradius=2)
 
-    def op(chunk):
-        return boxblur(shard_clip(chunk, mesh), hradius=3, vradius=2)
-
     sink, assemble = _collect(src.format)
-    # batch=8 so every chunk (except the 5-frame tail, which still shards
-    # by padding-free division only when divisible -- use donate=False and
-    # let the final chunk run replicated if indivisible)
-    n = src.num_frames
-    full = ArraySource(tuple(p[: n - (n % 8)] for p in src.planes),
-                       src.format)
-    process_stream(full, op, batch=8, sink=sink, donate=False)
+    # 13 frames / batch 8: one sharded chunk + a 5-frame unsharded tail
+    process_stream(src, lambda c: boxblur(c, hradius=3, vradius=2),
+                   batch=8, sink=sink, donate=False, mesh=mesh)
     for got, want in zip(assemble(), resident.planes):
-        np.testing.assert_array_equal(got, np.asarray(want)[: n - (n % 8)])
+        np.testing.assert_array_equal(got, np.asarray(want))

@@ -70,7 +70,7 @@ def _trim(arr, lead: int, tail: int):
 
 def process_stream(source, op, *, batch: int = 32, overlap: int = 0,
                    sink: Callable[[int, Clip], None] | None = None,
-                   donate: bool = True) -> dict:
+                   donate: bool = True, mesh=None) -> dict:
     """Stream ``source`` through ``op`` in ``batch``-frame chunks.
 
     source: ``ArraySource``/``SyntheticSource`` or any object with
@@ -82,6 +82,13 @@ def process_stream(source, op, *, batch: int = 32, overlap: int = 0,
     sink: called as ``sink(frame_index, chunk_clip_numpy)`` for every
         output chunk; when None, plane data is dropped and only per-frame
         props (metrics) are accumulated.
+    mesh: optional ``jax.sharding.Mesh`` with a ``frames`` axis
+        (``parallel.frames_mesh``): each chunk is placed frames-sharded
+        across the mesh so the op runs data-parallel over devices, with
+        the same chunking/halo semantics.  Chunks whose frame count does
+        not divide the mesh (the tail) fall back to single-device
+        placement — results are identical either way (the sharding only
+        changes placement).
 
     Returns a dict of accumulated per-frame props (each a (num_frames,)
     numpy array for array-valued props, else the last scalar value).
@@ -95,6 +102,16 @@ def process_stream(source, op, *, batch: int = 32, overlap: int = 0,
 
     jop = jax.jit(op, donate_argnums=(0,) if donate else ())
 
+    sharding = None
+    mesh_n = 0
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from ..parallel.mesh import FRAMES_AXIS
+
+        sharding = NamedSharding(mesh, PartitionSpec(FRAMES_AXIS, None, None))
+        mesh_n = int(np.prod(mesh.devices.shape))
+
     starts = list(range(0, n, batch))
     prop_chunks: dict[str, list] = {}
     prop_scalars: dict[str, object] = {}
@@ -104,7 +121,10 @@ def process_stream(source, op, *, batch: int = 32, overlap: int = 0,
         lo = max(0, start - overlap)
         hi = min(n, start + batch + overlap)
         host = source(lo, hi)
-        dev = tuple(jax.device_put(np.ascontiguousarray(p)) for p in host)
+        sh = sharding if sharding is not None and (hi - lo) % mesh_n == 0 \
+            else None
+        dev = tuple(
+            jax.device_put(np.ascontiguousarray(p), sh) for p in host)
         return Clip(dev, fmt, dict(source.props)), start - lo, hi - min(n, start + batch)
 
     pending = None   # (start, out_clip, lead, tail) awaiting readback
