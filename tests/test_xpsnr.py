@@ -251,3 +251,23 @@ def test_errors(make_clip, make_temporal_clip):
         xpsnr(make_clip("GRAY8"), make_clip("GRAY8"))
     with pytest.raises(VSZipError, match="8 or 10 bit"):
         xpsnr(make_clip("YUV420P16"), make_clip("YUV420P16"))
+
+
+def test_verbose_prints_reference_summary(make_temporal_clip, capsys):
+    """verbose=True prints the reference's end-of-run line (reference
+    src/vapoursynth/xpsnr.zig:110-128: 'XPSNR average, N frames  y: ...
+    u: ...  v: ...' at 4 decimals)."""
+    import re
+
+    ref = make_temporal_clip("YUV420P8")
+    dist = boxblur(ref, hradius=1, vradius=1)
+    out = xpsnr(ref, dist, fps=24, verbose=True)
+    text = capsys.readouterr().out
+    m = re.search(
+        r"XPSNR average, (\d+) frames\s+y: ([0-9.]+)\s+u: ([0-9.]+)\s+"
+        r"v: ([0-9.]+)", text)
+    assert m, f"no summary line in: {text!r}"
+    assert int(m.group(1)) == ref.num_frames
+    avg = np.asarray(out.props["XPSNR_AVG"])
+    for i in range(3):
+        assert float(m.group(2 + i)) == pytest.approx(float(avg[i]), abs=1e-4)

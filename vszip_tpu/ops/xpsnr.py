@@ -284,7 +284,12 @@ def _xpsnr_frame_stats(org, rec, depth: int, frame_rate: int,
 
 
 def xpsnr(reference: Clip, distorted: Clip, temporal: bool = True,
-          fps: float | None = None) -> Clip:
+          verbose: bool = False, fps: float | None = None) -> Clip:
+    """``verbose=True`` prints the reference's end-of-run summary line
+    (src/vapoursynth/xpsnr.zig:110-128 prints it on filter free; here the
+    whole clip is processed in one call, so it prints before returning).
+    ``fps`` overrides the _FpsNum/_FpsDen frame props (the reference reads
+    the clip's fps; Clip carries it as props)."""
     fmt = reference.format
     if fmt.color_family is not ColorFamily.YUV:
         raise VSZipError(f"{FILTER_NAME} : only supports YUV format clips")
@@ -329,6 +334,13 @@ def xpsnr(reference: Clip, distorted: Clip, temporal: bool = True,
     # SAME jitted _prop_math (bit-equal to a resident run).
     props["_XPSNR_WSSE"] = wsse  # (N, C) f64, per-frame
     props["_XPSNR_Num64"] = num64  # (C,) f64, constant across chunks
+    if verbose:
+        av = np.asarray(avg)
+        n = int(wsse.shape[0])
+        comps = "".join(
+            f"{c}: {float(av[i]):.4f}  "
+            for i, c in enumerate("yuv"[: wsse.shape[1]]))
+        print(f"XPSNR average, {n} frames  {comps}", flush=True)
     return distorted.with_props(**props)
 
 
