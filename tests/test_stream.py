@@ -147,7 +147,7 @@ def test_streamed_xpsnr_avg_matches_resident():
             props[k], np.asarray(resident.props[k]))
     np.testing.assert_array_equal(
         props["XPSNR_AVG"], np.asarray(resident.props["XPSNR_AVG"]))
-    assert "_XPSNR_WSSE" not in props and "_XPSNR_AggMeta" not in props
+    assert "_XPSNR_WSSE" not in props and "_XPSNR_Num64" not in props
 
 
 def test_streamed_frame_doubling_eedi3_matches_resident():
