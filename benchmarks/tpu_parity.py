@@ -147,12 +147,14 @@ def check():
                                  rtol=1e-3, atol=1e-6, equal_nan=True)
                      for k in w)
         elif name.startswith("eedi3"):  # incl. eedi3h, eedi3_photo
-            # deterministic Viterbi: 1-ulp interpolation arithmetic only,
-            # zero argmin flips (a flip moves a pixel by ~0.1+)
+            # deterministic Viterbi: ulp-level interpolation arithmetic
+            # only, zero argmin flips.  Measured max |d| 3-9e-7 (1-2 ulps
+            # of the 4/8-tap arithmetic); a single flip moves a pixel by
+            # ~0.1+, five orders of magnitude above this bound.
             maxd = max(
                 np.abs(a.astype(np.float64) - b.astype(np.float64)).max()
                 for a, b in zip(g, w))
-            ok = maxd < 1e-6
+            ok = maxd < 2e-6
             detail = f" (max |d| {maxd:.2e})"
         elif name == "bilateral":
             lsb = max(
