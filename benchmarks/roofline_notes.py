@@ -216,6 +216,11 @@ def main():
     #     perfectly radius-flat 4.0 ms, but the L^2 contraction costs more
     #     than the banded r<=22 matmul it replaced; flagship regressed
     #     14.4k -> 9.5k fps and was reverted.
+    # Per-call dispatch floor (round 4): a tiny-op chained loop runs at
+    # 0.27 ms/call and a 66 MB pointwise op at 0.33 ms — dispatch and
+    # device execution OVERLAP on the relay (per-call wall time is their
+    # max, not sum), so sub-millisecond ops are dispatch-rate-bound and
+    # batch size is the lever, not kernel fusion.
     # Standing conclusion: the remaining 3.5x over pure traffic is V+H
     # arithmetic (band matmuls + fixed-point limb math) that scales with
     # the work, not dispatch overhead; the banded-matmul formulation is
