@@ -304,6 +304,44 @@ def test_pcx_indexed8_palette():
     assert im.zformat == "indexed8" and im.has_alpha  # indexed => alpha clip
 
 
+def test_pcx_1bit_ega_palette():
+    """1-bit PCX maps through the 16-color EGA header palette (bytes
+    16..64) entries 0/1 and yields an RGB + alpha clip like every indexed
+    source (zigimg indexed1 -> copyPixelsIndexed in the reference)."""
+    bits = np.array([[1, 0, 1, 0, 1, 0, 0, 1],
+                     [0, 1, 1, 0, 0, 1, 1, 0]], np.uint8)
+    hdr = bytearray(_pcx_header(8, 2, 1, 1, 1))
+    pal = np.zeros((16, 3), np.uint8)
+    pal[0] = (10, 20, 30)
+    pal[1] = (200, 100, 50)
+    hdr[16:64] = pal.tobytes()
+    body = bytearray()
+    for y in range(2):
+        body += _pcx_rle(np.packbits(bits[y]).tobytes())
+    im = decode_pcx(bytes(hdr) + bytes(body))
+    np.testing.assert_array_equal(im.pixels, pal[bits.astype(np.int64)])
+    assert im.zformat == "indexed1" and im.has_alpha and not im.gray
+
+
+def test_netpbm_nonfull_maxval_rescaled():
+    """Samples stored against MAXVAL != 255/65535 widen to full range
+    (v * peak / maxval, round-half-up — ffmpeg pnm semantics)."""
+    g = np.array([[0, 50, 100], [25, 75, 99]], np.uint8)
+    im = decode_pnm(b"P5 3 2 100\n" + g.tobytes())
+    want = (g.astype(np.int64) * 255 + 50) // 100
+    np.testing.assert_array_equal(im.pixels[..., 0], want)
+    # 16-bit: maxval 1000 -> peak 65535
+    g16 = np.array([[0, 500, 1000]], np.uint16)
+    im = decode_pnm(b"P5 3 1 1000\n" + g16.astype(">u2").tobytes())
+    want16 = (g16.astype(np.int64) * 65535 + 500) // 1000
+    np.testing.assert_array_equal(im.pixels[..., 0], want16)
+    # PAM MAXVAL 1 BLACKANDWHITE: 0/1 -> 0/255
+    hdr = (b"P7\nWIDTH 4\nHEIGHT 1\nDEPTH 1\nMAXVAL 1\n"
+           b"TUPLTYPE BLACKANDWHITE\nENDHDR\n")
+    im = decode_pnm(hdr + bytes([0, 1, 1, 0]))
+    np.testing.assert_array_equal(im.pixels[..., 0], [[0, 255, 255, 0]])
+
+
 def test_format_matrix_vs_reference():
     """Every pixel-format tag the reference ACCEPTS
     (src/vapoursynth/image_read.zig:440 switch) is producible by this

@@ -168,6 +168,55 @@ def test_streamed_frame_doubling_eedi3_matches_resident():
                                   np.asarray(resident.planes[0]))
 
 
+def test_frame_doubling_sink_index_in_output_units():
+    """Sink indices are in OUTPUT-frame units: a frame-doubling op's chunk
+    starting at source frame s lands at output frame 2*s, so writing each
+    chunk at its index reassembles the clip without gaps or overlaps."""
+    from vszip_tpu.ops.eedi3 import eedi3
+
+    rng = np.random.default_rng(6)
+    x = rng.random((7, 24, 32), dtype=np.float32)
+    fmt = get_format("GRAYS")
+    resident = np.asarray(
+        eedi3(Clip.from_planes((x,), fmt), field=2).planes[0])
+
+    out = np.full_like(resident, np.nan)
+
+    def sink(start, clip):
+        chunk = clip.planes[0]
+        out[start: start + chunk.shape[0]] = chunk
+
+    process_stream(ArraySource((x,), fmt), lambda c: eedi3(c, field=2),
+                   batch=3, sink=sink, donate=False)
+    np.testing.assert_array_equal(out, resident)
+
+
+def test_sink_does_not_see_internal_props():
+    """Streaming-support props (_XPSNR_*) are stripped from sink clips —
+    sinks observe only the reference's public prop surface."""
+    from vszip_tpu.ops.xpsnr import xpsnr
+
+    rng = np.random.default_rng(7)
+    p = tuple(rng.integers(0, 256, (6, 16 >> s, 16 >> s), np.uint8)
+              for s in (0, 1, 1))
+    fmt = get_format("YUV420P8")
+    ref = tuple(a.copy() for a in p)
+    seen = []
+
+    def op(chunk):
+        r = Clip.from_planes(tuple(a[: chunk.planes[0].shape[0]] for a in ref),
+                             fmt)
+        return xpsnr(r, chunk, fps=24)
+
+    def sink(start, clip):
+        seen.append(set(clip.props))
+
+    process_stream(ArraySource(p, fmt), op, batch=6, sink=sink, donate=False)
+    assert seen and all(
+        not any(k.startswith("_XPSNR_") for k in ks) for ks in seen)
+    assert all("XPSNR_Y" in ks for ks in seen)
+
+
 def test_streamed_non_multiple_frame_change_rejected(src):
     def bad(c):
         return c.with_planes(tuple(p[:-1] for p in c.planes))

@@ -115,6 +115,16 @@ def compute_filter(src_dim: int, dst_dim: int, shift: float, filt: str = "biline
     """(left[dst], weights[dst, filter_size] f32) per zimg compute_filter:
     weights in double, mirror-folded at the edges, normalized by the window
     sum, narrowed to f32 for the float pixel path."""
+    left, w64 = compute_filter_f64(src_dim, dst_dim, shift, filt)
+    return left, w64.astype(f32)
+
+
+@lru_cache(maxsize=None)
+def compute_filter_f64(src_dim: int, dst_dim: int, shift: float,
+                       filt: str = "bilinear"):
+    """(left[dst], weights[dst, filter_size] f64) — the double-precision
+    weight matrix zimg computes before narrowing (f32 pixel path) or
+    quantizing (i16 Q14 integer pixel path)."""
     fn, support = _FILTERS[filt]
     scale = dst_dim / src_dim
     step = min(scale, 1.0)

@@ -210,6 +210,16 @@ def _pnm_tokens(data: bytes, pos: int, count: int):
     return toks, pos
 
 
+def _rescale_maxval(px: np.ndarray, maxval: int, wide: bool) -> np.ndarray:
+    """Widen samples stored against a non-full-scale MAXVAL (e.g. P5 maxval
+    100, PAM MAXVAL 1) to the full 8/16-bit range: v * peak / maxval with
+    round-half-up integer arithmetic (ffmpeg pnm semantics)."""
+    peak = 65535 if wide else 255
+    if maxval == peak:
+        return px
+    return (px * peak + maxval // 2) // maxval
+
+
 def decode_pnm(data: bytes) -> DecodedImage:
     magic = data[:2]
     if magic in (b"PF", b"Pf"):
@@ -244,6 +254,7 @@ def decode_pnm(data: bytes) -> DecodedImage:
         wide = maxval > 255
         dt = ">u2" if wide else np.uint8
         px = np.frombuffer(data, dt, w * h * depth, pos)
+        px = _rescale_maxval(px.astype(np.int64), maxval, wide)
         px = px.astype(np.uint16 if wide else np.uint8).reshape(h, w, depth)
         gray = depth <= 2 and "RGB" not in tupl
         has_alpha = depth in (2, 4) or tupl.endswith("_ALPHA")
@@ -287,7 +298,7 @@ def decode_pnm(data: bytes) -> DecodedImage:
                             "grayscale1", 1)
     wide = maxval > 255
     dtype = np.uint16 if wide else np.uint8
-    out = px.astype(dtype).reshape(h, w, nchan)
+    out = _rescale_maxval(px, maxval, wide).astype(dtype).reshape(h, w, nchan)
     b = 16 if wide else 8
     ztag = f"grayscale{b}" if nchan == 1 else ("rgb48" if wide else "rgb24")
     return DecodedImage(np.ascontiguousarray(out), nchan == 1, False, {},
@@ -342,7 +353,13 @@ def decode_pcx(data: bytes) -> DecodedImage:
                             "indexed8", 8)
     if bpp == 1 and nplanes == 1:
         bits = np.unpackbits(rows[:, 0, :], axis=1)[:, :w]
-        px = (bits * 255).astype(np.uint8)[:, :, None]
-        return DecodedImage(np.ascontiguousarray(px), True, False, {},
+        # zigimg decodes 1-bit PCX as indexed1 through the 16-color EGA
+        # header palette (bytes 16..64, 16 x RGB triples); the reference
+        # then emits an RGB clip + alpha clip like every indexed source
+        # (image_read.zig copyPixelsIndexed path), so map bits through
+        # palette entries 0/1 rather than widening to gray.
+        pal = np.frombuffer(data, np.uint8, 48, 16).reshape(16, 3)
+        px = pal[bits.astype(np.int64)]
+        return DecodedImage(np.ascontiguousarray(px), False, True, {},
                             "indexed1", 1)
     raise ValueError(f"unsupported PCX layout (bpp={bpp}, planes={nplanes})")

@@ -8,7 +8,8 @@ props: cICP wins, then sRGB (defaults), then gAMA (100000->LINEAR,
 45455->BT470_M, 35714->BT470_BG, else UNSPECIFIED) and cHRM matched against
 known primaries with tolerance 1000.  ``validate=True`` pre-checks that all
 paths decode to matching dimensions/format.  HTTP(S) URLs are fetched with
-urllib (the reference uses an in-process HTTP client)."""
+urllib (the reference uses an in-process HTTP client) but only when
+``VSZIP_ALLOW_URL=1`` is set — the default is zero egress."""
 
 from __future__ import annotations
 
@@ -62,6 +63,15 @@ def _color_props(chunks: dict) -> dict:
 
 def _load(path: str) -> bytes:
     if path.lower().startswith(("http://", "https://")):
+        # Network fetches are opt-in: the reference fetches URLs with an
+        # in-process HTTP client (src/vapoursynth/image_read.zig), but this
+        # package defaults to zero egress — set VSZIP_ALLOW_URL=1 to enable.
+        import os
+
+        if os.environ.get("VSZIP_ALLOW_URL") != "1":
+            raise VSZipError(
+                f"{FILTER_NAME}: URL fetch disabled; set VSZIP_ALLOW_URL=1 "
+                f"to allow network access for '{path}'")
         from urllib.request import urlopen
 
         with urlopen(path) as r:

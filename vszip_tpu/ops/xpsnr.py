@@ -289,7 +289,12 @@ def xpsnr(reference: Clip, distorted: Clip, temporal: bool = True,
     (src/vapoursynth/xpsnr.zig:110-128 prints it on filter free; here the
     whole clip is processed in one call, so it prints before returning).
     ``fps`` overrides the _FpsNum/_FpsDen frame props (the reference reads
-    the clip's fps; Clip carries it as props)."""
+    the clip's fps; Clip carries it as props).
+
+    The output also carries ``_XPSNR_WSSE`` / ``_XPSNR_Num64`` props:
+    INTERNAL streaming-support state (runtime.stream recomputes the global
+    XPSNR_AVG from them and strips them before handing chunks to sinks);
+    they are not part of the reference's public prop surface."""
     fmt = reference.format
     if fmt.color_family is not ColorFamily.YUV:
         raise VSZipError(f"{FILTER_NAME} : only supports YUV format clips")

@@ -134,6 +134,7 @@ def process_stream(source, op, *, batch: int = 32, overlap: int = 0,
         in_frames = clip.planes[0].shape[0]
         out = jop(clip)                      # async dispatch
         out_frames = out.planes[0].shape[0]
+        m = 1
         if out_frames != in_frames:
             # frame-count-changing ops (EEDI3/EEDI3H field=2/3 double the
             # rate: input frame i -> output frames m*i .. m*i+m-1, a
@@ -150,7 +151,9 @@ def process_stream(source, op, *, batch: int = 32, overlap: int = 0,
             nxt = load(starts[idx + 1])      # H2D overlaps the compute
         if pending is not None:
             _drain(pending, sink, prop_chunks, prop_scalars)
-        pending = (start, out, lead, tail)
+        # sink indices are in OUTPUT-frame units: frame-multiplying ops
+        # place source chunk [start, start+batch) at m*start in the output.
+        pending = (m * start, out, lead, tail)
     _drain(pending, sink, prop_chunks, prop_scalars)
 
     props: dict = dict(prop_scalars)
@@ -183,6 +186,11 @@ def _finalize_aggregates(props: dict) -> None:
 # per-frame even if their length happens to match a chunk's frame count
 _SCALAR_PROPS = frozenset({"_XPSNR_Num64"})
 
+# internal streaming-support props consumed by _finalize_aggregates; they
+# are stripped from the clips handed to sinks (sinks see only the
+# reference's public prop surface)
+_INTERNAL_PROPS = frozenset({"_XPSNR_WSSE", "_XPSNR_Num64"})
+
 
 def _drain(pending, sink, prop_chunks, prop_scalars):
     start, out, lead, tail = pending
@@ -197,4 +205,5 @@ def _drain(pending, sink, prop_chunks, prop_scalars):
         else:
             prop_scalars[k] = np.asarray(v) if hasattr(v, "shape") else v
     if sink is not None:
-        sink(start, Clip(host_planes, out.format, dict(out.props)))
+        props = {k: v for k, v in out.props.items() if k not in _INTERNAL_PROPS}
+        sink(start, Clip(host_planes, out.format, props))
