@@ -39,26 +39,16 @@ REF_GOLDENS_DIR = Path(
 # Case-id patterns (fnmatch, per filter) compared against SELF-pinned goldens
 # instead of the reference values, each with a documented reason.  Keep this
 # list short and justified: every entry is a known, measured deviation.
-REF_EXCLUDE: dict[str, list[tuple[str, str]]] = {
-    "xpsnr": [
-        # The suite's only UPSCALE fixture (1880x1040 -> 2560x1440) at
-        # 10-bit: all three components land at rel 3-10e-6 vs the reference
-        # (tolerance 1e-6) while the SAME pipeline matches the 8-bit uhd
-        # cases at ~1e-8 and every downscale case at <=1e-6.  Round-4
-        # forensics (op output == tests/oracle/xpsnr_ref.py literal oracle
-        # to 1e-16, so the XPSNR math itself is exact) ruled out: 2-tap
-        # accumulation order (even/odd vs FMA-chain vs single-rounding all
-        # within 1e-8 of each other), h/v pass order (149 px differ, score
-        # unchanged), integer Q14 resize-after-depth staging (4.7e-2, far
-        # worse), f32->u16>>6 quantization (8e-5, worse), round-half-away
-        # (unchanged).  Whatever zimg does differently in this one
-        # upscale-to-10-bit corner remains unidentified; the float model
-        # here is the closest of every variant tried.
-        ("ext|uhd|2560x1440|YUV420P10|fps32|t1|n*",
-         "10-bit upscale fixture deviation (structural, unidentified; see"
-         " comment)"),
-    ],
-}
+#
+# EMPTY since round 5: the last entry (the XPSNR 10-bit upscale fixture at
+# rel 3-10e-6) fell to the round-5 forensic (benchmarks/forensic_xpsnr10.py)
+# — zimg stages integer-format resizes PER PLANE around the depth
+# conversion: a plane that grows is depth-converted first and resized in
+# the integer Q14 pixel path (the upscaled luma now matches at rel 1e-15),
+# while a plane that shrinks is resized in float and quantized at the
+# destination (the subsampled chroma matches at 3e-8).  See
+# tests/zimg_exact.py convert_rgb24 / resize_plane_u16.
+REF_EXCLUDE: dict[str, list[tuple[str, str]]] = {}
 
 
 def ref_excluded(filter_name: str, key: str) -> str | None:
