@@ -126,21 +126,27 @@ def main():
 
     # metrics: fence by reading the score back.  These scalar-prop loops
     # are short and fence-dominated on the relay (measured up to 3-4x
-    # run-to-run spread from dispatch-queue state), so repeat the timed
-    # loop and keep the best — that is the kernel's actual steady state.
-    def bench_metric(metric, fn, read, clip, iters, b, repeats=3):
+    # run-to-run spread from dispatch-queue state).  The HEADLINE value is
+    # the MEDIAN of the repeated timed loops (the defensible estimator on a
+    # noisy channel); best-of-N is kept as a secondary field, with the
+    # observed spread, so the steady-state ceiling stays visible.
+    def bench_metric(metric, fn, read, clip, iters, b, repeats=5):
         np.asarray(read(fn()))
         fence = fence_med(clip)
-        best = None
+        dts = []
         for _ in range(repeats):
             t0 = time.perf_counter()
             for _ in range(iters):
                 out = fn()
             np.asarray(read(out))
-            dt = (time.perf_counter() - t0 - fence) / iters
-            best = dt if best is None else min(best, dt)
-        lines.append({"metric": metric, "value": round(b / best, 2),
-                      "unit": "frames/sec", "vs_baseline": None})
+            dts.append((time.perf_counter() - t0 - fence) / iters)
+        med = sorted(dts)[len(dts) // 2]
+        lines.append({"metric": metric, "value": round(b / med, 2),
+                      "unit": "frames/sec", "vs_baseline": None,
+                      "best_fps": round(b / min(dts), 2),
+                      "spread_fps": [round(b / max(dts), 2),
+                                     round(b / min(dts), 2)],
+                      "note": f"median of {repeats} loops of {iters}"})
 
     c1 = _mk(vz, rng, "YUV420P10", 32)
     c2 = vz.Clip.from_planes(

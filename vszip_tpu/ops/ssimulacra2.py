@@ -103,31 +103,11 @@ _K_BIAS = np.float32(0.0037930734)
 _K_D1 = np.float32(np.cbrt(0.0037930734))
 
 
-def _vcl_cbrt(x):
-    """Bit-faithful port of the reference's VCL2 cbrt (src/vcl.zig:40-81,
-    itself vectormath_exp.h cbrt_f): exponent-hacked initial estimate
-    ``bitcast(0x54800000 - (exp_bits * 0x002AAAAA))``, three Newton
-    iterations ``a = 4/3*a - x/3 * a^4``, one refined final step, then
-    ``a^2 * x``; inputs with |x| <= 2^-126 (biased exponent 1 or denormal)
-    underflow to 0.  Replaces XLA's own cbrt so the XYB nonlinearity
-    rounds like the reference's SIMD build (the largest contributor to
-    the round-3 score residual)."""
-    one_third = jnp.float32(1.0 / 3.0)
-    four_third = jnp.float32(4.0 / 3.0)
-    xa = jnp.abs(x)
-    xa3 = one_third * xa
-    m1 = jax.lax.bitcast_convert_type(xa, jnp.uint32)
-    m2 = jnp.uint32(0x54800000) - (
-        (m1 >> jnp.uint32(23)) * jnp.uint32(0x002AAAAA))
-    a = jax.lax.bitcast_convert_type(m2, jnp.float32)
-    underflow = m1 <= jnp.uint32(0x00800000)
-    for _ in range(3):
-        a2 = a * a
-        a = (four_third * a) - (xa3 * (a2 * a2))
-    a2 = a * a
-    a = a + (one_third * (a - (xa * (a2 * a2))))
-    a = (a * a) * x
-    return jnp.where(underflow, jnp.float32(0.0), a)
+# Bit-faithful port of the reference's VCL2 cbrt (src/vcl.zig:40-81);
+# shared with the Deband m6/m7 pow/atan ports in ops/vcl.py.  Replaces
+# XLA's own cbrt so the XYB nonlinearity rounds like the reference's
+# SIMD build (the largest contributor to the round-3 score residual).
+from .vcl import cbrt as _vcl_cbrt
 
 
 def _to_xyb(r, g, b):
