@@ -366,8 +366,17 @@ def test_format_matrix_vs_reference():
         "float32",
         # TGA 16-bit color-map indices
         "indexed16",
+        # GIF / IFF-ILBM indexed sources, farbfeld rgba64, SGI rgb/rgba
+        # (already covered tags omitted)
     }
     assert accepted <= producible
+
+    # container families side by side with the reference's zigimg matrix
+    # (src/vapoursynth/image_read.zig:222-224 accepts anything
+    # Image.fromMemory decodes; zigimg's finished decoders):
+    containers = {"png", "bmp", "qoi", "tga", "pbm", "pgm", "ppm", "pam",
+                  "pfm", "pcx", "gif", "farbfeld", "ilbm", "sgi"}
+    assert len(containers) == 14
 
 
 def test_tga_colormapped_16bit_indices():
@@ -384,3 +393,230 @@ def test_tga_colormapped_16bit_indices():
     im = decode_tga(data)
     np.testing.assert_array_equal(im.pixels, cmap[idx])
     assert im.zformat == "indexed16" and im.zbits == 16
+
+
+# ---------------------------------------------------------------------------
+# GIF / farbfeld / IFF-ILBM / SGI (vszip_tpu.io.codecs2)
+# ---------------------------------------------------------------------------
+
+from vszip_tpu.io.codecs2 import (  # noqa: E402
+    decode_farbfeld, decode_gif, decode_iff, decode_sgi)
+
+
+def _gif_lzw_encode(indices, min_code):
+    """Spec-literal 'uncompressed' LZW: a CLEAR before every literal keeps
+    the code width fixed at min_code+1 (the decoder's table never grows)."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    acc = nbits = 0
+    out = bytearray()
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    for v in indices:
+        emit(int(v))
+        emit(clear)
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_bytes(idx, pal, transparent=-1, interlace=False,
+               screen=None, offset=(0, 0)):
+    h, w = idx.shape
+    sw, sh = screen or (w, h)
+    ncol = len(pal)
+    bits = max(2, (ncol - 1).bit_length())
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", sw, sh, 0x80 | (bits - 1), 0, 0)
+    gct = np.zeros((1 << bits, 3), np.uint8)
+    gct[:ncol] = pal
+    out += gct.tobytes()
+    if transparent >= 0:
+        out += bytes([0x21, 0xF9, 4, 1, 0, 0, transparent, 0])
+    rows = idx
+    if interlace:
+        order = [y for y0, dy in ((0, 8), (4, 8), (2, 4), (1, 2))
+                 for y in range(y0, h, dy)]
+        rows = idx[np.asarray(order)]
+    out += struct.pack("<BHHHHB", 0x2C, offset[0], offset[1], w, h,
+                       (0x40 if interlace else 0))
+    min_code = max(2, bits)
+    out.append(min_code)
+    lzw = _gif_lzw_encode(rows.ravel(), min_code)
+    for i in range(0, len(lzw), 200):
+        chunk = lzw[i : i + 200]
+        out.append(len(chunk))
+        out += chunk
+    out += bytes([0, 0x3B])
+    return bytes(out)
+
+
+def test_gif_basic_palette():
+    rng = np.random.default_rng(10)
+    pal = rng.integers(0, 256, (8, 3), np.uint8)
+    idx = rng.integers(0, 8, (6, 9), np.uint8)
+    im = decode_gif(_gif_bytes(idx, pal))
+    np.testing.assert_array_equal(im.pixels, pal[idx])
+    assert not im.gray and im.has_alpha and im.zformat == "indexed8"
+
+
+def test_gif_transparency_and_interlace():
+    rng = np.random.default_rng(11)
+    pal = rng.integers(0, 256, (16, 3), np.uint8)
+    idx = rng.integers(0, 16, (17, 5), np.uint8)
+    im = decode_gif(_gif_bytes(idx, pal, transparent=3, interlace=True))
+    np.testing.assert_array_equal(im.pixels[..., :3], pal[idx])
+    np.testing.assert_array_equal(im.pixels[..., 3],
+                                  np.where(idx == 3, 0, 255))
+
+
+def test_gif_subrect_composites_on_canvas():
+    pal = np.asarray([[10, 20, 30], [200, 100, 50]], np.uint8)
+    idx = np.ones((2, 3), np.uint8)
+    im = decode_gif(_gif_bytes(idx, pal, screen=(6, 5), offset=(2, 1)))
+    assert im.pixels.shape == (5, 6, 3)
+    np.testing.assert_array_equal(im.pixels[1:3, 2:5], pal[idx])
+    np.testing.assert_array_equal(im.pixels[0, 0], pal[0])  # background
+
+
+def test_farbfeld_roundtrip():
+    rng = np.random.default_rng(12)
+    px = rng.integers(0, 65536, (4, 7, 4), np.uint16)
+    data = b"farbfeld" + struct.pack(">II", 7, 4) + px.astype(">u2").tobytes()
+    im = decode_farbfeld(data)
+    np.testing.assert_array_equal(im.pixels, px)
+    assert im.has_alpha and im.zformat == "rgba64" and im.zbits == 16
+
+
+def _ilbm_bytes(idx, pal, nplanes, compress=False, camg=None, w=None):
+    h, iw = idx.shape
+    w = w or iw
+    rowbytes = ((w + 15) // 16) * 2
+    bmhd = struct.pack(">HHhhBBBBHBBhh", w, h, 0, 0, nplanes, 0,
+                       1 if compress else 0, 0, 0, 1, 1, w, h)
+    body = bytearray()
+    for y in range(h):
+        for p in range(nplanes):
+            bits = (idx[y] >> p) & 1
+            row = np.packbits(np.pad(bits, (0, rowbytes * 8 - iw)))
+            if compress:
+                # ByteRun1: all-literal runs
+                body += bytes([len(row) - 1]) + row.tobytes()
+            else:
+                body += row.tobytes()
+    chunks = b"BMHD" + struct.pack(">I", len(bmhd)) + bmhd
+    if camg is not None:
+        chunks += b"CAMG" + struct.pack(">II", 4, camg)
+    if pal is not None:
+        cm = pal.astype(np.uint8).tobytes()
+        chunks += b"CMAP" + struct.pack(">I", len(cm)) + cm
+        if len(cm) & 1:
+            chunks += b"\0"
+    chunks += b"BODY" + struct.pack(">I", len(body)) + bytes(body)
+    if len(body) & 1:
+        chunks += b"\0"
+    return b"FORM" + struct.pack(">I", len(chunks) + 4) + b"ILBM" + chunks
+
+
+def test_ilbm_planar_palette():
+    rng = np.random.default_rng(13)
+    pal = rng.integers(0, 256, (32, 3), np.uint8)
+    idx = rng.integers(0, 32, (4, 21), np.uint8)
+    im = decode_iff(_ilbm_bytes(idx, pal, 5))
+    np.testing.assert_array_equal(im.pixels, pal[idx])
+    assert im.has_alpha and im.zformat == "indexed8" and im.zbits == 5
+
+
+def test_ilbm_byterun1_and_ehb():
+    rng = np.random.default_rng(14)
+    pal = rng.integers(0, 256, (32, 3), np.uint8)
+    idx = rng.integers(0, 64, (3, 16), np.uint8)  # 6 planes, EHB
+    im = decode_iff(_ilbm_bytes(idx, pal, 6, compress=True, camg=0x80))
+    ehb = np.concatenate([pal, pal // 2])
+    np.testing.assert_array_equal(im.pixels, ehb[idx])
+
+
+def _sgi_bytes(px, bpc=1, rle=False):
+    h, w, nchan = px.shape
+    hdr = struct.pack(">2sBBHHHH", b"\x01\xda", 1 if rle else 0, bpc, 3,
+                      w, h, nchan)
+    hdr += b"\0" * (512 - len(hdr))
+    planar = px.transpose(2, 0, 1)[:, ::-1]  # channel-planar, bottom-up
+    if not rle:
+        dt = ">u2" if bpc == 2 else np.uint8
+        return hdr + planar.astype(dt).tobytes()
+    # RLE: encode each row as literal runs of <=127
+    table_start = 512
+    rows = []
+    offsets, lengths = [], []
+    pos = table_start + h * nchan * 8
+    for c in range(nchan):
+        for y in range(h):
+            row = planar[c, y]
+            enc = bytearray()
+            for i in range(0, w, 127):
+                seg = row[i : i + 127]
+                if bpc == 1:
+                    enc.append(0x80 | len(seg))
+                    enc += seg.astype(np.uint8).tobytes()
+                else:
+                    enc += struct.pack(">H", 0x80 | len(seg))
+                    enc += seg.astype(">u2").tobytes()
+            enc += b"\0\0" if bpc == 2 else b"\0"
+            offsets.append(pos)
+            lengths.append(len(enc))
+            rows.append(bytes(enc))
+            pos += len(enc)
+    table = (np.asarray(offsets, ">u4").tobytes()
+             + np.asarray(lengths, ">u4").tobytes())
+    return hdr + table + b"".join(rows)
+
+
+def test_sgi_verbatim_rgb():
+    rng = np.random.default_rng(15)
+    px = rng.integers(0, 256, (5, 9, 3), np.uint8)
+    im = decode_sgi(_sgi_bytes(px))
+    np.testing.assert_array_equal(im.pixels, px)
+    assert not im.gray and im.zformat == "rgb24"
+
+
+def test_sgi_rle_16bit_rgba():
+    rng = np.random.default_rng(16)
+    px = rng.integers(0, 65536, (3, 140, 4), np.uint16)
+    im = decode_sgi(_sgi_bytes(px, bpc=2, rle=True))
+    np.testing.assert_array_equal(im.pixels, px)
+    assert im.has_alpha and im.zformat == "rgba64" and im.zbits == 16
+
+
+def test_new_codecs_image_read(tmp_path):
+    """The new containers through the ImageRead surface."""
+    from vszip_tpu.io.image_read import image_read
+
+    rng = np.random.default_rng(17)
+    pal = rng.integers(0, 256, (4, 3), np.uint8)
+    idx = rng.integers(0, 4, (8, 8), np.uint8)
+    g = tmp_path / "img.gif"
+    g.write_bytes(_gif_bytes(idx, pal))
+    clip, alpha = image_read(str(g), alpha=True)
+    assert clip.format.name == "RGB24"
+    for c in range(3):
+        np.testing.assert_array_equal(np.asarray(clip.planes[c])[0],
+                                      pal[idx][:, :, c])
+    assert np.asarray(alpha.planes[0]).min() == 255  # opaque indexed
+
+    px16 = rng.integers(0, 65536, (8, 8, 4), np.uint16)
+    f = tmp_path / "img.ff"
+    f.write_bytes(b"farbfeld" + struct.pack(">II", 8, 8)
+                  + px16.astype(">u2").tobytes())
+    clip = image_read(str(f))
+    assert clip.format.name == "RGB48"

@@ -263,10 +263,27 @@ def decode(data: bytes) -> DecodedImage:
         from .codecs import decode_pcx
 
         return decode_pcx(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from .codecs2 import decode_gif
+
+        return decode_gif(data)
+    if data[:8] == b"farbfeld":
+        from .codecs2 import decode_farbfeld
+
+        return decode_farbfeld(data)
+    if data[:4] == b"FORM":
+        from .codecs2 import decode_iff
+
+        return decode_iff(data)
+    if data[:2] == b"\x01\xda":
+        from .codecs2 import decode_sgi
+
+        return decode_sgi(data)
     if len(data) >= 18 and data[1] in (0, 1) and data[2] in (1, 2, 3, 9, 10, 11):
         from .codecs import decode_tga
 
         return decode_tga(data)
     raise ValueError(
         "unsupported image format (PNG, BMP, QOI, TGA, netpbm "
-        "PBM/PGM/PPM/PAM/PFM and PCX are supported)")
+        "PBM/PGM/PPM/PAM/PFM, PCX, GIF, farbfeld, IFF/ILBM and SGI "
+        "are supported)")
