@@ -54,18 +54,22 @@ def _distort(clip, kind):
 @pytest.mark.parametrize("case", CASES, ids=str)
 def test_golden(golden, make_clip, case):
     """REFERENCE-pinned scores at rel=1e-3 with a documented 0.08 absolute
-    floor: with bit-exact inputs (RGB24/RGBS + exact std.BoxBlur) the score
-    residual vs the reference binary is <=0.003; the three YUV blur1
-    (lowest-distortion) cases carry 0.031-0.077 from LSB-level rounding-tie
-    deviations in the integer chroma-upsample/EOTF conversion, amplified by
-    the tiny distortion.  Round 4 ported the reference's VCL2 cbrt
-    polynomial into the XYB path (ops/ssimulacra2.py _vcl_cbrt) — it left
-    the floor essentially unchanged (0.077 -> 0.0765), isolating the
-    residual to the input-conversion ties, not transcendentals; the
-    earlier variant study (Q14 vs ideal-f64 upsample, mirror vs clamp
-    edges, shift scan, EOTF constants) hit the same floor.  Mixed residual
-    signs across the three cases (+0.077/-0.031/-0.033) are consistent
-    with tie-flip noise rather than bias."""
+    floor carried only by the three YUV blur1 (lowest-distortion) cases.
+    Round-5 forensic (benchmarks/forensic_ssim2_r05.py) settled WHERE the
+    0.031-0.077 residual lives: composing the whole chain in ideal f64
+    NumPy (zimg-weights upsample + BT.709 matrix + exact sRGB EOTF +
+    literal metric oracle) reproduces THIS REPO's score to 2.5e-5 and
+    differs from the reference binary by the same 0.033 — i.e. the repo
+    computes the ideal-chain value and the residual is the reference
+    stack's own approximation (zimg's approximate-gamma vector
+    polynomials, strongest for the dark/out-of-gamut negatives YUV 4:2:0
+    produces; coefficients unavailable in this environment).  Eliminated
+    this round: upsample staging (Q14 int vs float sequential-FMA,
+    <=0.002 apart), f64-exact EOTF (+-1e-5), canonical EOTF constants
+    (~0.0008), clamp0/clamp01/mirror out-of-range rules (move scores the
+    wrong way by up to 6.2), input LSB noise (a whole-plane +-1 LSB
+    perturbation moves the score 0.0002).  Mixed residual signs
+    (+0.077/-0.031/-0.033) are the reference's approximation noise."""
     clip = make_clip(case.fmt, case.geometry)
     out = ssimulacra2(clip, _distort(clip, case.args["dist"]))
     golden.check_value(

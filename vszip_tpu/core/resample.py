@@ -211,12 +211,36 @@ def _upsample_chroma_int(c, ssw: int, ssh: int, w: int, h: int, bits: int):
     return do_h(do_v(c))
 
 
+def _resize_axis_f32_seq(x, src_dim: int, dst_dim: int, shift: float,
+                         axis: int, kind: str = "bicubic", b: float = 0.0,
+                         c: float = 0.5):
+    """One float resize pass in zimg's FLOAT-pixel kernel order: f32
+    coefficients (derived in double, rounded once), sequential per-tap
+    accumulate ``acc = w_k * x_k + acc`` left to right (zimg's AVX2 float
+    resize ladders are fmadd chains in tap order; XLA rounds the mul and
+    add separately, a <=1-ulp-per-tap deviation)."""
+    if dst_dim == src_dim and shift == 0.0:
+        return x
+    left, wts = _zimg_filter_taps(src_dim, dst_dim, shift, kind, b, c)
+    w32 = wts.astype(np.float32)
+    taps = w32.shape[1]
+    shape = [1] * x.ndim
+    shape[axis] = dst_dim
+    acc = None
+    for k in range(taps):
+        idx = np.clip(left + k, 0, src_dim - 1)
+        tap = jnp.take(x, jnp.asarray(idx), axis=axis)
+        term = tap * jnp.asarray(w32[:, k].reshape(shape))
+        acc = term if acc is None else acc + term
+    return acc
+
+
 def _upsample_chroma(c, ssw: int, ssh: int, w: int, h: int):
     """zimg-convention chroma upsample to luma dims: Catmull-Rom, left-sited
     horizontally (VS default chromaloc: chroma sample k is co-sited with luma
     column k*2^ssw, i.e. shift +0.25 in chroma units for 2x), centered
-    vertically.  Float-pixel path: dense f32 matmuls (MXU-friendly: the
-    matrices are tiny and banded), zimg pass order."""
+    vertically.  Float-pixel path: zimg's sequential per-tap f32 ladders
+    (``_resize_axis_f32_seq``), zimg pass order."""
     if ssw == 0 and ssh == 0:
         return c
     ch, cw = c.shape[1], c.shape[2]
@@ -225,16 +249,12 @@ def _upsample_chroma(c, ssw: int, ssh: int, w: int, h: int):
     def do_h(x):
         if not ssw:
             return x
-        mh = jnp.asarray(_zimg_weight_matrix(cw, w, hshift))
-        return jnp.einsum("wk,nhk->nhw", mh, x,
-                          preferred_element_type=jnp.float32)
+        return _resize_axis_f32_seq(x, cw, w, hshift, x.ndim - 1)
 
     def do_v(x):
         if not ssh:
             return x
-        mv = jnp.asarray(_zimg_weight_matrix(ch, h, 0.0))
-        return jnp.einsum("hk,nkw->nhw", mv, x,
-                          preferred_element_type=jnp.float32)
+        return _resize_axis_f32_seq(x, ch, h, 0.0, x.ndim - 2)
 
     if _resize_h_first(w / cw, h / ch):
         return do_v(do_h(c))
