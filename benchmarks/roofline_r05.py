@@ -65,11 +65,14 @@ def main():
 
     print(f"shape: batch {BATCH} 1080p YUV420P16, radius {R}", flush=True)
 
-    bench_planes("copy floor (x+0, all planes)",
-                 lambda ps: tuple(p + np.uint16(0) for p in ps), planes)
+    bench_planes("copy floor (xor, materialized)",
+                 lambda ps: tuple(p ^ np.uint16(1) for p in ps), planes)
     t_fused = bench_planes(
-        "fused ct V+H (flagship)",
+        "fused ct V+H auto tile (flagship)",
         lambda ps: tuple(ct_blur_int_pallas(p, R) for p in ps), planes)
+    bench_planes(
+        "fused ct V+H tile 256 (old default)",
+        lambda ps: tuple(ct_blur_int_pallas(p, R, 256) for p in ps), planes)
     t_v = bench_planes(
         "rt V-only",
         lambda ps: tuple(rt_blur_v_pallas(p, R) for p in ps), planes)

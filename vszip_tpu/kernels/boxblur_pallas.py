@@ -276,13 +276,22 @@ def _ct_int_kernel(main_ref, head_ref, tail_ref, hw_ref, o_ref, *,
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
-def ct_blur_int_pallas(x, radius: int, tile_h: int = 256):
-    """Fused comptime-path integer BoxBlur.  x: (N, H, W) uint8/uint16."""
+def ct_blur_int_pallas(x, radius: int, tile_h: int | None = None):
+    """Fused comptime-path integer BoxBlur.  x: (N, H, W) uint8/uint16.
+
+    tile_h None = auto: the fewest, largest blocks that fit XLA's 16 MB
+    scoped-VMEM stack (measured r5: fewer blocks win — one whole-plane
+    1080x1920 block runs the flagship 9% faster than 256-row tiles, and
+    the 2-block tiling most of that — per-block launch/DMA overhead
+    dominates).  The ~9 B/px budget is the measured scoped footprint of
+    the u16 path (in+out blocks + f32 transients) with headroom."""
     n, h, w = x.shape
     r = radius
     ksize = 2 * r + 1
     inv = ((1 << 32) + r) // ksize
     inv2 = inv >> 16
+    if tile_h is None:
+        tile_h = max(64, min(h + 63, (15 << 20) // (9 * w)))
     th = _pick_tile(h, tile_h)
     rblk = 32 if 2 * r <= 32 else 64  # slim neighbor-view height (divides th)
     if h < rblk:
