@@ -38,7 +38,7 @@ N, H, W = 64, 1080, 1920
 RANGE = 15
 
 
-def bench(name, step, arrs, iters=30):
+def bench(name, step, arrs, iters=8):
     jstep = jax.jit(step)
     out = jstep(*arrs)
     out = jstep(*arrs)
@@ -101,3 +101,18 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+# Measured r5 (v5e, batch 64 1080p luma, RANGE 15; 8-iter chained means):
+#   random gather (1 tap, packed u32)              78.6 ms
+#   sorted gather + inverse-permute (bucketed)    191.0 ms
+#   sorted gather alone (locality bound)          114.1 ms
+#   contiguous roll (pure-shift bound)              0.77 ms
+#   4-tap random gather (the full m2 pattern)     351.5 ms
+# Conclusions: TPU gather throughput is index-OBLIVIOUS (sorting the
+# indices is 1.45x SLOWER, bucketing+unpermute 2.4x slower), so host-side
+# reordering of the create-time-constant offsets cannot help; and the
+# shipped joint-alphabet select-chain kernel (deband_m2_pallas.py) already
+# runs the COMPLETE op — 4 taps + mode arithmetic + grain — in ~331 ms per
+# 64-frame call (193 fps), i.e. cheaper than the 4 raw gathers it
+# replaces.  The m2 tail is the hardware floor for this access pattern.
